@@ -1,0 +1,65 @@
+"""Dynamic-weight ("meta") ops: convolutions/linears whose weights arrive as a
+forward argument, one weight set per batch element.
+
+Reference semantics: hyperseg/models/layers/meta_conv.py:163-186 (MetaConv2d
+folds the batch into conv groups) and meta_linear.py:49-61 (bmm). On TPU we
+keep the same single-conv formulation — XLA lowers grouped convs onto the MXU —
+but in NHWC/HWIO layout.
+
+Weight flattening convention (must match the torch reference bit-for-bit for
+checkpoint parity): a flat per-sample weight vector of length
+out_ch * (in_ch // groups) * kh * kw unpacks C-ordered as
+(out_ch, in_ch // groups, kh, kw)  [meta_conv.py:180].
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from hyperseg_tpu.nn import functional as F
+
+
+def meta_conv2d(x, w, *, out_channels, kernel_size=(1, 1), stride=(1, 1),
+                padding=((0, 0), (0, 0)), dilation=(1, 1), groups=1,
+                padding_mode="zeros"):
+    """Per-sample dynamic conv. x: (B, H, W, C); w: (B, hyper_params) flat.
+
+    Implemented as a single grouped convolution with feature_group_count = B *
+    groups (the reference's cuDNN trick, meta_conv.py:182-183, which is equally
+    natural for XLA): batch folds into the channel dimension.
+    """
+    b, h, ww, c = x.shape
+    kh, kw = kernel_size
+    in_per_group = c // groups
+    # (B, O, I/g, kh, kw) -> kernel HWIO (kh, kw, I/g, B*O)
+    wk = w.reshape(b, out_channels, in_per_group, kh, kw)
+    wk = jnp.transpose(wk, (3, 4, 2, 0, 1)).reshape(kh, kw, in_per_group, b * out_channels)
+    if padding_mode != "zeros":
+        x = F.pad2d(x, padding, mode=padding_mode)
+        padding = ((0, 0), (0, 0))
+        h, ww = x.shape[1], x.shape[2]
+    xi = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, h, ww, b * c)
+    out = lax.conv_general_dilated(
+        xi, wk.astype(xi.dtype),
+        window_strides=stride,
+        padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=b * groups,
+    )
+    oh, ow = out.shape[1], out.shape[2]
+    out = out.reshape(oh, ow, b, out_channels)
+    return jnp.transpose(out, (2, 0, 1, 3))
+
+
+def meta_linear(x, w, *, out_features, in_features):
+    """Per-sample dynamic linear. x: (B, in); w: (B, out*in) flat (C-ordered
+    (out, in), matching meta_linear.py:60)."""
+    wk = w.reshape(-1, out_features, in_features)
+    return jnp.einsum("bi,boi->bo", x, wk.astype(x.dtype))
+
+
+def meta_conv2d_hyper_params(out_channels, in_channels, kernel_size, groups=1):
+    kh, kw = kernel_size if isinstance(kernel_size, (tuple, list)) else (kernel_size, kernel_size)
+    return out_channels * (in_channels // groups) * kh * kw

@@ -1,0 +1,131 @@
+"""Patch-wise dynamic convolution ops (lax reference path).
+
+The HyperSeg decoder computes a weight tensor on the stride-32 grid and applies
+it patch-wise: the image is split into an (fh, fw) grid of (ph, pw) patches,
+each convolved with its own generated filters. The reference reaches cuDNN
+through unfold/grouped-conv/fold (hyperseg_v1_0.py:328-370, 486-498,
+meta_patch.py:35-57). Here the natural TPU formulation is a patch-blocked
+layout (B, fh, fw, ph, pw, C) with batched einsums — every 1x1 stage is a
+(ph*pw, Cin) x (Cin, Cout) matmul per patch that XLA tiles onto the MXU, and
+the depthwise 3x3 is a 9-tap shift-multiply on the VPU.
+
+These functions are the numerical oracle; the fused Pallas kernels in
+hyperseg_tpu/ops/pallas must match them exactly.
+
+Weight layout convention: flat per-patch vectors w: (B, fh, fw, P), with P
+unpacking C-ordered as (out_ch, in_ch // groups, kh, kw) — identical to the
+reference (hyperseg_v1_0.py:350,357,364,492-493).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from hyperseg_tpu.nn import functional as F
+
+
+def block_patches(x, fh, fw):
+    """(B, H, W, C) -> (B, fh, fw, ph, pw, C)."""
+    b, h, w, c = x.shape
+    ph, pw = h // fh, w // fw
+    x = x.reshape(b, fh, ph, fw, pw, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+
+
+def unblock_patches(xp):
+    """(B, fh, fw, ph, pw, C) -> (B, fh*ph, fw*pw, C)."""
+    b, fh, fw, ph, pw, c = xp.shape
+    x = jnp.transpose(xp, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, fh * ph, fw * pw, c)
+
+
+def extract_patches_with_halo(x, fh, fw, pad_hw, mode="reflect"):
+    """(B, H, W, C) -> overlapping patches (B, fh, fw, ph+2*pt, pw+2*pl, C).
+
+    Equivalent to the reference's reflect-pad + overlapping unfold
+    (hyperseg_v1_0.py:336-342). Gather-based; each border row/col is read by
+    two patches (the halo).
+    """
+    b, h, w, c = x.shape
+    ph, pw = h // fh, w // fw
+    pt, pl = pad_hw
+    xpad = F.pad2d(x, ((pt, pt), (pl, pl)), mode=mode)
+    row_idx = (np.arange(fh)[:, None] * ph + np.arange(ph + 2 * pt)[None, :])
+    col_idx = (np.arange(fw)[:, None] * pw + np.arange(pw + 2 * pl)[None, :])
+    xp = xpad[:, row_idx]                # (B, fh, ph+2pt, W+2pl, C)
+    xp = xp[:, :, :, col_idx]            # (B, fh, ph+2pt, fw, pw+2pl, C)
+    return jnp.transpose(xp, (0, 1, 3, 2, 4, 5))
+
+
+def patch_pointwise(xp, w, out_channels, groups=1):
+    """Per-patch 1x1 conv. xp: (B, fh, fw, h, w, Cin); w: (B, fh, fw, P) with
+    P = out_channels * Cin // groups. -> (B, fh, fw, h, w, out_channels)."""
+    b, fh, fw, h, wd, cin = xp.shape
+    if groups == 1:
+        wk = w.reshape(b, fh, fw, out_channels, cin).astype(xp.dtype)
+        return jnp.einsum("bfghwc,bfgoc->bfghwo", xp, wk)
+    cpg = cin // groups
+    opg = out_channels // groups
+    wk = w.reshape(b, fh, fw, groups, opg, cpg).astype(xp.dtype)
+    xg = xp.reshape(b, fh, fw, h, wd, groups, cpg)
+    out = jnp.einsum("bfghwnc,bfgnoc->bfghwno", xg, wk)
+    return out.reshape(b, fh, fw, h, wd, out_channels)
+
+
+def patch_depthwise_valid(xp, w, kernel_size):
+    """Per-patch depthwise kxk VALID conv.
+
+    xp: (B, fh, fw, h, w, C); w: (B, fh, fw, C*kh*kw) unpacking as (C, kh, kw).
+    -> (B, fh, fw, h-kh+1, w-kw+1, C). Computed as a kh*kw-tap shift-multiply
+    (VPU work; XLA fuses the taps)."""
+    b, fh, fw, h, wd, c = xp.shape
+    kh, kw = kernel_size
+    oh, ow = h - kh + 1, wd - kw + 1
+    wk = w.reshape(b, fh, fw, c, kh, kw).astype(xp.dtype)
+    out = None
+    for di in range(kh):
+        for dj in range(kw):
+            tap = xp[:, :, :, di:di + oh, dj:dj + ow, :] * wk[:, :, :, None, None, :, di, dj]
+            out = tap if out is None else out + tap
+    return out
+
+
+def patch_conv_valid(xp, w, out_channels, kernel_size, groups=1, stride=(1, 1)):
+    """Per-patch dense/grouped kxk VALID conv via im2col einsum.
+
+    xp: (B, fh, fw, h, w, Cin); w: (B, fh, fw, P), P = out*(Cin//g)*kh*kw.
+    -> (B, fh, fw, oh, ow, out_channels)."""
+    b, fh, fw, h, wd, cin = xp.shape
+    kh, kw = kernel_size
+    sh, sw = stride
+    oh = (h - kh) // sh + 1
+    ow = (wd - kw) // sw + 1
+    if groups == cin and out_channels == cin and (sh, sw) == (1, 1):
+        return patch_depthwise_valid(xp, w, kernel_size)
+    if (kh, kw) == (1, 1) and (sh, sw) == (1, 1):
+        return patch_pointwise(xp, w, out_channels, groups)
+    # im2col: windows (B, fh, fw, oh, ow, kh, kw, Cin)
+    cols = jnp.stack([
+        jnp.stack([xp[:, :, :, di:di + oh * sh:sh, dj:dj + ow * sw:sw, :]
+                   for dj in range(kw)], axis=-2)
+        for di in range(kh)], axis=-3)
+    cpg = cin // groups
+    opg = out_channels // groups
+    wk = w.reshape(b, fh, fw, groups, opg, cpg, kh, kw).astype(xp.dtype)
+    cg = cols.reshape(b, fh, fw, oh, ow, kh, kw, groups, cpg)
+    out = jnp.einsum("bfghwklnc,bfgnockl->bfghwno", cg, wk)
+    return out.reshape(b, fh, fw, oh, ow, out_channels)
+
+
+def patch_batch_norm(xp, scale, bias, mean, var, *, eps=1e-5, training=False,
+                     momentum=0.1):
+    """BatchNorm over the patch batch — the reference normalizes the reshaped
+    (b*fh*fw, C, h, w) tensor (hyperseg_v1_0.py:352,360,366), i.e. stats over
+    batch, patch-grid, and within-patch spatial axes. In the patch-blocked
+    layout that is axes (0,1,2,3,4); eval mode is a plain running-stats affine.
+    """
+    if not training:
+        return F.batch_norm(xp, scale, bias, mean, var, eps=eps), mean, var
+    return F.batch_norm_train(xp, scale, bias, mean, var, eps=eps,
+                              momentum=momentum, reduce_axes=(0, 1, 2, 3, 4))

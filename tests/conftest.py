@@ -1,0 +1,50 @@
+import os
+import sys
+
+# Force an 8-device CPU mesh for all tests: multi-chip sharding is validated on
+# virtual devices (the real environment has a single TPU chip).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize registers a TPU backend and pins
+# jax_platforms; force CPU for the test suite regardless.
+jax.config.update("jax_platforms", "cpu")
+
+import types
+
+import pytest
+
+
+REFERENCE_DIR = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def reference():
+    """Import the PyTorch reference implementation as a numerical oracle.
+
+    Tests using this fixture skip when the reference checkout is unavailable
+    (the framework itself never depends on it).
+    """
+    if not os.path.isdir(os.path.join(REFERENCE_DIR, "hyperseg")):
+        pytest.skip("reference checkout not available")
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    # hyperseg.utils.utils imports ffmpeg at module import time; stub it out.
+    for mod in ("ffmpeg",):
+        if mod not in sys.modules:
+            sys.modules[mod] = types.ModuleType(mod)
+    import hyperseg  # noqa: F401
+    return sys.modules["hyperseg"]
+
+
+@pytest.fixture(scope="session")
+def torch(reference):
+    import torch
+    torch.manual_seed(0)
+    return torch

@@ -1,0 +1,109 @@
+"""Parity tests for the dynamic-weight ops against the PyTorch reference.
+
+Oracle: hyperseg/models/layers/meta_conv.py, meta_patch.py and the in-model
+patch ops of hyperseg_v1_0.py, executed on CPU with random weights.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hyperseg_tpu.ops import meta, patch as P
+
+
+def to_nhwc(t):
+    return jnp.asarray(t.detach().numpy().transpose(0, 2, 3, 1))
+
+
+def from_nhwc(a):
+    return np.asarray(a).transpose(0, 3, 1, 2)
+
+
+@pytest.mark.parametrize("groups,k,pad,mode", [
+    (1, 1, 0, "zeros"), (1, 3, 1, "zeros"), (2, 3, 1, "reflect"), (4, 1, 0, "zeros"),
+])
+def test_meta_conv2d(reference, torch, groups, k, pad, mode):
+    from hyperseg.models.layers.meta_conv import MetaConv2d
+    b, cin, cout, h, w = 3, 8, 12, 16, 16
+    m = MetaConv2d(cin, cout, k, padding=pad, groups=groups, padding_mode=mode)
+    x = torch.randn(b, cin, h, w)
+    wt = torch.randn(b, m.hyper_params)
+    ref = m(x, wt).numpy()
+
+    out = meta.meta_conv2d(
+        to_nhwc(x), jnp.asarray(wt.numpy()),
+        out_channels=cout, kernel_size=(k, k),
+        padding=((pad, pad), (pad, pad)), groups=groups, padding_mode=mode)
+    np.testing.assert_allclose(from_nhwc(out), ref, atol=2e-5, rtol=1e-5)
+
+
+def test_meta_linear(reference, torch):
+    from hyperseg.models.layers.meta_linear import MetaLinear
+    m = MetaLinear(6, 10)
+    x = torch.randn(4, 6)
+    wt = torch.randn(4, m.hyper_params)
+    ref = m(x, wt).numpy()
+    out = meta.meta_linear(jnp.asarray(x.numpy()), jnp.asarray(wt.numpy()),
+                           out_features=10, in_features=6)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-5)
+
+
+def test_patch_block_roundtrip():
+    x = jnp.arange(2 * 12 * 8 * 3, dtype=jnp.float32).reshape(2, 12, 8, 3)
+    xp = P.block_patches(x, 3, 2)
+    assert xp.shape == (2, 3, 2, 4, 4, 3)
+    np.testing.assert_array_equal(np.asarray(P.unblock_patches(xp)), np.asarray(x))
+
+
+def test_hyper_patch_no_padding(reference, torch):
+    """Oracle: HyperPatchNoPadding.forward (hyperseg_v1_0.py:486-498) minus the
+    signal2weights step (weights fed directly)."""
+    from hyperseg.models.hyperseg_v1_0 import HyperPatchNoPadding
+    b, cin, cout, fh, fw, ph, pw, groups = 2, 8, 6, 4, 4, 4, 4, 2
+    m = HyperPatchNoPadding(cin, cout, 1, groups=groups)
+    x = torch.randn(b, cin, fh * ph, fw * pw)
+    wt = torch.randn(b, int(m.hyper_params), fh, fw)
+    m.signal2weights = None  # feed raw weights
+
+    ref = m(x, wt).numpy()
+
+    xp = P.block_patches(to_nhwc(x), fh, fw)
+    wflat = jnp.asarray(wt.numpy().transpose(0, 2, 3, 1))  # (B, fh, fw, P)
+    out = P.patch_pointwise(xp, wflat, cout, groups=groups)
+    out = P.unblock_patches(out)
+    np.testing.assert_allclose(from_nhwc(out), ref, atol=2e-5, rtol=1e-5)
+
+
+def test_meta_patch_conv2d(reference, torch):
+    """Oracle: MetaPatchConv2d (meta_patch.py:35-57): halo unfold + MetaConv2d
+    + fold, here as extract_patches_with_halo + patch_conv_valid."""
+    from hyperseg.models.layers.meta_patch import MetaPatchConv2d
+    b, cin, cout, fh, fw, ph, pw, k = 2, 6, 5, 2, 3, 8, 8, 3
+    m = MetaPatchConv2d(cin, cout, k, padding=k // 2, padding_mode="reflect")
+    x = torch.randn(b, cin, fh * ph, fw * pw)
+    wt = torch.randn(b * fh * fw, int(m.hyper_params))
+    # reference forward takes weight of shape (B, P, fh, fw) pre-permuted
+    wt_map = wt.view(b, fh, fw, -1).permute(0, 3, 1, 2)
+    ref = m(x, wt_map).numpy()
+
+    xp = P.extract_patches_with_halo(to_nhwc(x), fh, fw, (1, 1), mode="reflect")
+    wflat = jnp.asarray(wt.numpy().reshape(b, fh, fw, -1))
+    out = P.patch_conv_valid(xp, wflat, cout, (k, k))
+    out = P.unblock_patches(out)
+    np.testing.assert_allclose(from_nhwc(out), ref, atol=2e-5, rtol=1e-5)
+
+
+def test_patch_depthwise(reference, torch):
+    from hyperseg.models.layers.meta_patch import MetaPatchConv2d
+    b, c, fh, fw, ph, pw, k = 2, 6, 3, 2, 8, 8, 3
+    m = MetaPatchConv2d(c, c, k, padding=1, groups=c, padding_mode="reflect")
+    x = torch.randn(b, c, fh * ph, fw * pw)
+    wt = torch.randn(b * fh * fw, int(m.hyper_params))
+    wt_map = wt.view(b, fh, fw, -1).permute(0, 3, 1, 2)
+    ref = m(x, wt_map).numpy()
+
+    xp = P.extract_patches_with_halo(to_nhwc(x), fh, fw, (1, 1), mode="reflect")
+    wflat = jnp.asarray(wt.numpy().reshape(b, fh, fw, -1))
+    out = P.patch_depthwise_valid(xp, wflat, (k, k))
+    out = P.unblock_patches(out)
+    np.testing.assert_allclose(from_nhwc(out), ref, atol=2e-5, rtol=1e-5)
