@@ -1,0 +1,348 @@
+"""EfficientNet encoder, TPU-native (NHWC, functional, static plan + pure apply).
+
+Capability parity with the reference backbone
+(hyperseg/models/backbones/efficientnet.py, efficientnet_utils.py):
+  * b0–b8 / l2 compound scaling plus the HyperSeg 'c*' / 's*' custom variants
+    (efficientnet_utils.py:563-610).
+  * multi-scale feature taps: the last block of each stride level is marked
+    (efficientnet.py:186-204) and optionally compressed by a 1x1+BN `_feat_fc_i`
+    controlled by `out_feat_scale` (efficientnet.py:207-222).
+  * the `feat_channels` contract consumed by HyperGen (efficientnet.py:204,227).
+  * TF-style SAME padding **computed from the nominal model image size**, not
+    the runtime size — the reference builds Conv2dStaticSamePadding from the
+    compile-time size trace (240 for b1, 300 for b3, ...), so at odd
+    intermediate nominal sizes the pad amounts differ from true runtime SAME.
+    Checkpoint parity requires reproducing that exactly
+    (efficientnet_utils.py:254-269).
+
+Design: the class computes a static *plan* (block configs, pad amounts,
+channel counts) in Python at construction; `apply` is a pure function over a
+flat {torch-style key: array} parameter dict, fully jit-traceable with
+unrolled block loops and static shapes.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, replace
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyperseg_tpu.nn import functional as F
+
+# ---------------------------------------------------------------------------
+# Architecture tables
+# ---------------------------------------------------------------------------
+
+# width, depth, nominal resolution, dropout — standard EfficientNet compound
+# scaling coefficients (efficientnet_utils.py:465-505).
+SCALING = {
+    "b0": (1.0, 1.0, 224, 0.2), "b1": (1.0, 1.1, 240, 0.2),
+    "b2": (1.1, 1.2, 260, 0.3), "b3": (1.2, 1.4, 300, 0.3),
+    "b4": (1.4, 1.8, 380, 0.4), "b5": (1.6, 2.2, 456, 0.4),
+    "b6": (1.8, 2.6, 528, 0.5), "b7": (2.0, 3.1, 600, 0.5),
+    "b8": (2.2, 3.6, 672, 0.5), "l2": (4.3, 5.3, 800, 0.5),
+}
+
+# MBConv stage specs: (repeats, kernel, stride, expand, in, out, se_ratio)
+BASE_STAGES = [
+    (1, 3, 1, 1, 32, 16, 0.25),
+    (2, 3, 2, 6, 16, 24, 0.25),
+    (2, 5, 2, 6, 24, 40, 0.25),
+    (3, 3, 2, 6, 40, 80, 0.25),
+    (3, 5, 1, 6, 80, 112, 0.25),
+    (4, 5, 2, 6, 112, 192, 0.25),
+    (1, 3, 1, 6, 192, 320, 0.25),
+]
+
+# HyperSeg custom variants (efficientnet_utils.py:579-600): 'c*' adds an extra
+# stride level (head 1920ch), 's*' moves the first stage to stride 2.
+C_STAGES = [
+    (1, 3, 1, 1, 32, 16, 0.25),
+    (2, 3, 2, 6, 16, 24, 0.25),
+    (2, 5, 2, 6, 24, 40, 0.25),
+    (3, 3, 2, 6, 40, 80, 0.25),
+    (3, 5, 1, 6, 80, 112, 0.25),
+    (4, 5, 2, 6, 112, 192, 0.25),
+    (4, 5, 2, 6, 192, 320, 0.25),
+    (1, 3, 1, 6, 320, 480, 0.25),
+]
+S_STAGES = [
+    (1, 3, 2, 1, 32, 16, 0.25),
+    (2, 3, 2, 6, 16, 24, 0.25),
+    (2, 5, 2, 6, 24, 40, 0.25),
+    (3, 3, 2, 6, 40, 80, 0.25),
+    (3, 5, 1, 6, 80, 112, 0.25),
+    (4, 5, 2, 6, 112, 192, 0.25),
+    (1, 3, 1, 6, 192, 320, 0.25),
+]
+
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.01  # torch momentum convention (1 - 0.99)
+
+
+def round_filters(filters: int, width: float, divisor: int = 8) -> int:
+    """Width scaling with divisor snapping (efficientnet_utils.py:82-107)."""
+    if not width:
+        return filters
+    filters *= width
+    new_f = max(divisor, int(filters + divisor / 2) // divisor * divisor)
+    if new_f < 0.9 * filters:
+        new_f += divisor
+    return int(new_f)
+
+
+def round_repeats(repeats: int, depth: float) -> int:
+    if not depth:
+        return repeats
+    return int(math.ceil(depth * repeats))
+
+
+def _nominal_out_size(size, stride):
+    return [int(math.ceil(size[0] / stride)), int(math.ceil(size[1] / stride))]
+
+
+@dataclass(frozen=True)
+class MBConvPlan:
+    in_ch: int
+    out_ch: int
+    expand: int
+    kernel: int
+    stride: int
+    se_ch: Optional[int]
+    id_skip: bool
+    dw_pad: Tuple[Tuple[int, int], Tuple[int, int]]  # static SAME pad for the depthwise conv
+    is_feat: bool  # last block of its stride level
+
+
+class EfficientNet:
+    """Static plan + functional apply for the EfficientNet feature extractor.
+
+    Args mirror the reference factory (efficientnet.py:493-502 +
+    global-params): `out_feat_scale` may be a scalar or per-level list;
+    `head`/`pool` control the (unused in HyperSeg) classifier tail.
+    """
+
+    def __init__(self, model_name: str, *, out_feat_scale=0.25, in_channels=3,
+                 num_classes=1000, head=None, pool=False, return_features=True,
+                 drop_connect_rate=0.2, dropout_rate=None):
+        m = re.fullmatch(r"efficientnet-([bcsl])(\d)", model_name)
+        if not m:
+            raise ValueError(f"unknown efficientnet variant {model_name!r}")
+        family, idx = m.group(1), m.group(2)
+        scale_key = "l2" if family == "l" else f"b{idx}"
+        width, depth, nominal, default_dropout = SCALING[scale_key]
+        stages = {"b": BASE_STAGES, "l": BASE_STAGES, "c": C_STAGES, "s": S_STAGES}[family]
+        head_ch_base = 1920 if family == "c" else 1280
+
+        self.model_name = model_name
+        self.in_channels = in_channels
+        self.pool = pool
+        self.head = head
+        self.num_classes = num_classes
+        self.return_features = return_features
+        self.drop_connect_rate = drop_connect_rate
+        self.dropout_rate = default_dropout if dropout_rate is None else dropout_rate
+
+        size = [nominal, nominal]
+        self.stem_ch = round_filters(32, width)
+        self.stem_pad = F.same_padding_2d(size, (3, 3), (2, 2))
+        size = _nominal_out_size(size, 2)
+
+        # Resolve blocks with the nominal-size padding trace.
+        blocks: List[MBConvPlan] = []
+        res_feat_mask: List[bool] = []
+        feat_nc: List[int] = []
+        for (r, k, s, e, ci, co, se) in stages:
+            ci = round_filters(ci, width)
+            co = round_filters(co, width)
+            r = round_repeats(r, depth)
+            if s > 1 and res_feat_mask:
+                res_feat_mask[-1] = True
+            res_feat_mask += [False] * r
+            feat_nc += [co] * r
+            for j in range(r):
+                stride = s if j == 0 else 1
+                bin_ch = ci if j == 0 else co
+                mid = bin_ch * e
+                se_ch = max(1, int(bin_ch * se)) if se else None
+                dw_pad = F.same_padding_2d(size, (k, k), (stride, stride))
+                blocks.append(MBConvPlan(
+                    in_ch=bin_ch, out_ch=co, expand=e, kernel=k, stride=stride,
+                    se_ch=se_ch, id_skip=True,
+                    dw_pad=dw_pad, is_feat=False))
+                size = _nominal_out_size(size, stride)
+        res_feat_mask[-1] = True
+        self.blocks = [replace(b, is_feat=res_feat_mask[i]) for i, b in enumerate(blocks)]
+
+        # Feature compressors (efficientnet.py:207-222).
+        self.feat_channels = [nc for nc, m_ in zip(feat_nc, res_feat_mask) if m_]
+        self.out_feat_scale = out_feat_scale
+        self.feat_fc: List[Optional[Tuple[int, int]]] = []
+        if out_feat_scale is not None:
+            for i, nc in enumerate(self.feat_channels):
+                scale = (out_feat_scale[i] if isinstance(out_feat_scale, (list, tuple))
+                         else out_feat_scale)
+                out_nc = int(round(nc * scale))
+                if scale != 1.0:
+                    self.feat_fc.append((nc, out_nc))
+                    self.feat_channels[i] = out_nc
+                else:
+                    self.feat_fc.append(None)
+        else:
+            self.feat_fc = [None] * len(self.feat_channels)
+
+        self.head_ch = round_filters(head_ch_base, width)
+        self.feat_channels = list(self.feat_channels) + [self.head_ch]
+
+    # -- parameters ---------------------------------------------------------
+
+    def init(self, rng) -> dict:
+        """Initialize parameters (flat dict, torch-compatible key names,
+        HWIO conv layout). Conv init follows torch's default kaiming-uniform."""
+        params = {}
+
+        def key_stream(base):
+            i = 0
+            while True:
+                yield jax.random.fold_in(base, i)
+                i += 1
+
+        keys = key_stream(rng)
+
+        def conv(name, kh, kw, cin, cout, bias=False):
+            fan_in = kh * kw * cin
+            bound = 1.0 / math.sqrt(fan_in)
+            params[f"{name}.weight"] = jax.random.uniform(
+                next(keys), (kh, kw, cin, cout), jnp.float32, -bound, bound)
+            if bias:
+                params[f"{name}.bias"] = jax.random.uniform(
+                    next(keys), (cout,), jnp.float32, -bound, bound)
+
+        def bn(name, c):
+            params[f"{name}.weight"] = jnp.ones((c,), jnp.float32)
+            params[f"{name}.bias"] = jnp.zeros((c,), jnp.float32)
+            params[f"{name}.running_mean"] = jnp.zeros((c,), jnp.float32)
+            params[f"{name}.running_var"] = jnp.ones((c,), jnp.float32)
+
+        conv("_conv_stem", 3, 3, self.in_channels, self.stem_ch)
+        bn("_bn0", self.stem_ch)
+        for i, bp in enumerate(self.blocks):
+            p = f"_blocks.{i}"
+            mid = bp.in_ch * bp.expand
+            if bp.expand != 1:
+                conv(f"{p}._expand_conv", 1, 1, bp.in_ch, mid)
+                bn(f"{p}._bn0", mid)
+            conv(f"{p}._depthwise_conv", bp.kernel, bp.kernel, 1, mid)
+            bn(f"{p}._bn1", mid)
+            if bp.se_ch is not None:
+                conv(f"{p}._se_reduce", 1, 1, mid, bp.se_ch, bias=True)
+                conv(f"{p}._se_expand", 1, 1, bp.se_ch, mid, bias=True)
+            conv(f"{p}._project_conv", 1, 1, mid, bp.out_ch)
+            bn(f"{p}._bn2", bp.out_ch)
+        for i, fc in enumerate(self.feat_fc):
+            if fc is not None:
+                cin, cout = fc
+                conv(f"_feat_fc_{i}.0", 1, 1, cin, cout)
+                bn(f"_feat_fc_{i}.1", cout)
+        last_out = self.blocks[-1].out_ch
+        conv("_conv_head", 1, 1, last_out, self.head_ch)
+        bn("_bn1", self.head_ch)
+        if self.head is not None:
+            bound = 1.0 / math.sqrt(self.head_ch)
+            params["_fc.weight"] = jax.random.uniform(
+                next(keys), (self.head_ch, self.num_classes), jnp.float32, -bound, bound)
+            params["_fc.bias"] = jax.random.uniform(
+                next(keys), (self.num_classes,), jnp.float32, -bound, bound)
+        return params
+
+    # -- forward ------------------------------------------------------------
+
+    def _bn(self, params, name, x):
+        return F.batch_norm(
+            x, params[f"{name}.weight"], params[f"{name}.bias"],
+            params[f"{name}.running_mean"], params[f"{name}.running_var"],
+            eps=BN_EPS)
+
+    def _block(self, params, prefix, bp: MBConvPlan, x, *, train, drop_rate, rng):
+        inputs = x
+        mid = bp.in_ch * bp.expand
+        if bp.expand != 1:
+            x = F.conv2d(x, params[f"{prefix}._expand_conv.weight"])
+            x = F.swish(self._bn(params, f"{prefix}._bn0", x))
+        x = F.conv2d(x, params[f"{prefix}._depthwise_conv.weight"],
+                     stride=(bp.stride, bp.stride), padding=bp.dw_pad, groups=mid)
+        x = F.swish(self._bn(params, f"{prefix}._bn1", x))
+        if bp.se_ch is not None:
+            se = F.adaptive_avg_pool_1(x)
+            se = F.conv2d(se, params[f"{prefix}._se_reduce.weight"],
+                          params[f"{prefix}._se_reduce.bias"])
+            se = F.swish(se)
+            se = F.conv2d(se, params[f"{prefix}._se_expand.weight"],
+                          params[f"{prefix}._se_expand.bias"])
+            x = jax.nn.sigmoid(se) * x
+        x = F.conv2d(x, params[f"{prefix}._project_conv.weight"])
+        x = self._bn(params, f"{prefix}._bn2", x)
+        if bp.id_skip and bp.stride == 1 and bp.in_ch == bp.out_ch:
+            if train and drop_rate and rng is not None:
+                keep = 1.0 - drop_rate
+                mask = jnp.floor(keep + jax.random.uniform(
+                    rng, (x.shape[0], 1, 1, 1), x.dtype))
+                x = x / keep * mask
+            x = x + inputs
+        return x
+
+    def __call__(self, params, x, *, train=False, rng=None):
+        """x: (B, H, W, in_channels) NHWC. Returns the multi-scale feature list
+        (one per stride level, compressed) + the stride-32 head feature —
+        mirroring extract_features_list (efficientnet.py:319-363)."""
+        x = F.conv2d(x, params["_conv_stem.weight"], stride=(2, 2), padding=self.stem_pad)
+        x = F.swish(self._bn(params, "_bn0", x))
+
+        feats = []
+        n = len(self.blocks)
+        rngs = jax.random.split(rng, n) if (train and rng is not None) else [None] * n
+        for i, bp in enumerate(self.blocks):
+            drop_rate = self.drop_connect_rate * i / n if self.drop_connect_rate else 0.0
+            x = self._block(params, f"_blocks.{i}", bp, x, train=train,
+                            drop_rate=drop_rate, rng=rngs[i])
+            if bp.is_feat:
+                fc = self.feat_fc[len(feats)] if self.out_feat_scale is not None else None
+                if fc is None:
+                    feats.append(x)
+                else:
+                    f = F.conv2d(x, params[f"_feat_fc_{len(feats)}.0.weight"])
+                    f = F.batch_norm(
+                        f, params[f"_feat_fc_{len(feats)}.1.weight"],
+                        params[f"_feat_fc_{len(feats)}.1.bias"],
+                        params[f"_feat_fc_{len(feats)}.1.running_mean"],
+                        params[f"_feat_fc_{len(feats)}.1.running_var"], eps=BN_EPS)
+                    feats.append(f)
+
+        x = F.conv2d(x, params["_conv_head.weight"])
+        x = F.swish(self._bn(params, "_bn1", x))
+        if self.pool:
+            x = jnp.mean(x, axis=(1, 2))
+        if train and self.dropout_rate and rng is not None:
+            keep = 1.0 - self.dropout_rate
+            mask = jax.random.bernoulli(jax.random.fold_in(rng, n), keep, x.shape)
+            x = jnp.where(mask, x / keep, 0.0)
+        if self.head is not None:
+            x = F.linear(x, params["_fc.weight"], params["_fc.bias"])
+        feats.append(x)
+        if self.return_features:
+            return feats
+        return feats[-1]
+
+
+def efficientnet(model_name, pretrained=False, weights_path=None, **kwargs):
+    """Factory mirroring the reference entry point (efficientnet.py:493-502).
+
+    `pretrained` requires a local `.pth` via `weights_path` converted through
+    hyperseg_tpu.core.torch_import (this environment has no network egress)."""
+    model = EfficientNet(model_name, **kwargs)
+    return model
