@@ -15,6 +15,7 @@ torch-style dotted keys by design), only tensor layouts change:
 
 from __future__ import annotations
 
+import re
 from typing import Dict, Mapping
 
 import numpy as np
@@ -34,6 +35,10 @@ def convert_state_dict(state_dict: Mapping, dtype=jnp.float32) -> Dict[str, jnp.
         if k.startswith("module."):
             k = k[len("module."):]
         if k.endswith("num_batches_tracked"):
+            continue
+        if re.search(r"\bcoord\d+_\d+$", k):
+            # cached coordinate-grid buffers (hyperseg_v1_0.py:193); we build
+            # coordinates statically at trace time instead.
             continue
         a = _to_numpy(v)
         if a.ndim == 4:

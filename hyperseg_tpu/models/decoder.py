@@ -1,0 +1,387 @@
+"""Dynamic multi-scale decoder: static plans + pure apply functions.
+
+Re-implements the reference decoder semantics (hyperseg_v1_0.py:94-253 and the
+hyper-block family at :281-498) in patch-blocked NHWC form. A decoder is built
+once in Python as a *plan* — a list of levels, each a list of hyper units with
+resolved channel counts, hyper-parameter ranges, and signal-routing indices —
+and applied as a pure jit-traceable function of (params, features, signal).
+
+Checkpoint-parity quirks reproduced deliberately (SURVEY.md §7.0):
+  #1 signal_index resets per level in v1_0/v0_2 — init_signal2weights passes
+     the index by value into each level's recursion (hyperseg_v1_0.py:269-278),
+     so every level's signal2weights reads a prefix slice s[:, 0:ch].
+  #2 MetaSequential slices the *signal* by hyper-param ranges and PyTorch
+     clamps out-of-range slices (meta_sequential.py:35) — reproduced by
+     Python-level min() on the static channel count.
+  #4 signal2weights output channels round up to the weight-group count and the
+     result is sliced back down (hyperseg_v1_0.py:318-324,451).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyperseg_tpu.nn import functional as F
+from hyperseg_tpu.ops import patch as P
+from hyperseg_tpu.models.signal_split import (
+    divide_feature, divide_feature_legacy_v01, divide_feature_legacy_v02,
+    next_multiply)
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1
+
+
+# ---------------------------------------------------------------------------
+# Unit plans
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class S2W:
+    """signal2weights routing for one hyper unit (grouped 1x1 conv on a slice
+    of the signal, output clipped back to hyper_params)."""
+    prefix: str            # parameter prefix of the conv ('...signal2weights')
+    signal_ch: int
+    signal_index: int
+    groups: int
+    out_ch: int            # next_multiply(hyper_params, groups)
+    hyper_params: int
+
+
+@dataclass
+class PatchConvUnit:
+    """A single patch-wise dynamic conv (+ optional full-map BN + activation).
+
+    Covers HyperPatchNoPadding (pad=0, hyperseg_v1_0.py:455-498),
+    HyperPatchConv2d (halo pad, :560-725), and v0_1's MetaPatchConv2d blocks
+    (meta_patch.py:60-225). BN here runs on the reassembled full map, matching
+    make_hyper_patch_conv2d_block's MetaSequential([conv, BN, act]) ordering.
+    """
+    prefix: str
+    in_ch: int
+    out_ch: int
+    kernel: int = 1
+    groups: int = 1
+    pad: int = 0
+    padding_mode: str = "reflect"
+    stride: int = 1
+    bn_prefix: Optional[str] = None
+    act: Optional[str] = None
+    s2w: Optional[S2W] = None
+
+    @property
+    def hyper_params(self) -> int:
+        return self.out_ch * (self.in_ch // self.groups) * self.kernel * self.kernel
+
+    def apply(self, params, x, w, train=False):
+        b, h, wd, c = x.shape
+        fh, fw = w.shape[1], w.shape[2]
+        if self.pad > 0:
+            xp = P.extract_patches_with_halo(x, fh, fw, (self.pad, self.pad),
+                                             mode=self.padding_mode)
+        else:
+            xp = P.block_patches(x, fh, fw)
+        out = P.patch_conv_valid(xp, w, self.out_ch, (self.kernel, self.kernel),
+                                 groups=self.groups, stride=(self.stride, self.stride))
+        out = P.unblock_patches(out)
+        if self.bn_prefix is not None:
+            out = F.batch_norm(
+                out, params[f"{self.bn_prefix}.weight"], params[f"{self.bn_prefix}.bias"],
+                params[f"{self.bn_prefix}.running_mean"], params[f"{self.bn_prefix}.running_var"],
+                eps=BN_EPS)
+        if self.act:
+            out = F.ACTIVATIONS[self.act](out)
+        return out
+
+
+@dataclass
+class InvResUnit:
+    """v1_0-style fused inverted residual with all three convs dynamic and BN
+    in patch space (hyperseg_v1_0.py:281-376): 1x1 expand -> k x k depthwise ->
+    1x1 project, weights sliced from one per-patch vector; BN over the
+    (b, fh, fw, ·, ·) patch batch; residual when stride==1 and in==out."""
+    prefix: str
+    in_ch: int
+    out_ch: int
+    hidden: int
+    kernel: int = 3
+    stride: int = 1
+    act: str = "relu6"
+    padding_mode: str = "reflect"
+    s2w: Optional[S2W] = None
+
+    @property
+    def ranges(self):
+        r1 = self.in_ch * self.hidden
+        r2 = r1 + self.hidden * self.kernel * self.kernel
+        r3 = r2 + self.hidden * self.out_ch
+        return (0, r1, r2, r3)
+
+    @property
+    def hyper_params(self) -> int:
+        return self.ranges[-1]
+
+    def apply(self, params, x, w, train=False):
+        act = F.ACTIVATIONS[self.act]
+        r = self.ranges
+        fh, fw = w.shape[1], w.shape[2]
+        pad = self.kernel // 2
+        xp = P.extract_patches_with_halo(x, fh, fw, (pad, pad), mode=self.padding_mode)
+
+        def bn(name, t):
+            return F.batch_norm(
+                t, params[f"{self.prefix}.{name}.weight"], params[f"{self.prefix}.{name}.bias"],
+                params[f"{self.prefix}.{name}.running_mean"],
+                params[f"{self.prefix}.{name}.running_var"], eps=BN_EPS)
+
+        h = P.patch_pointwise(xp, w[..., r[0]:r[1]], self.hidden)
+        h = act(bn("bn1", h))
+        h = P.patch_depthwise_valid(h, w[..., r[1]:r[2]], (self.kernel, self.kernel))
+        h = act(bn("bn2", h))
+        h = P.patch_pointwise(h, w[..., r[2]:r[3]], self.out_ch)
+        h = bn("bn3", h)
+        out = P.unblock_patches(h)
+        if self.stride == 1 and self.in_ch == self.out_ch:
+            out = out + x
+        return out
+
+
+@dataclass
+class V01InvResUnit:
+    """v0_1-style inverted residual (hyperseg_v0_1.py:205-237): a MetaSequential
+    of independent MetaPatch blocks — each conv folds back to the full map and
+    BN runs on the full map (unlike v1_0's patch-space BN)."""
+    prefix: str
+    in_ch: int
+    out_ch: int
+    hidden: int
+    kernel: int = 3
+    stride: int = 1
+    expand: float = 1
+    padding_mode: str = "reflect"
+    subunits: List[PatchConvUnit] = field(default_factory=list)
+    s2w: Optional[S2W] = None
+
+    def __post_init__(self):
+        if self.subunits:
+            return
+        layers = []
+        j = 0
+        if self.expand != 1:
+            layers.append(PatchConvUnit(
+                prefix=f"{self.prefix}.conv.{j}.0", in_ch=self.in_ch,
+                out_ch=self.hidden, kernel=1, pad=0,
+                bn_prefix=f"{self.prefix}.conv.{j}.1", act="relu6"))
+            j += 1
+        layers.append(PatchConvUnit(
+            prefix=f"{self.prefix}.conv.{j}.0", in_ch=self.hidden,
+            out_ch=self.hidden, kernel=self.kernel, groups=self.hidden,
+            pad=self.kernel // 2, padding_mode=self.padding_mode,
+            stride=self.stride, bn_prefix=f"{self.prefix}.conv.{j}.1", act="relu6"))
+        j += 1
+        layers.append(PatchConvUnit(
+            prefix=f"{self.prefix}.conv.{j}.0", in_ch=self.hidden,
+            out_ch=self.out_ch, kernel=1, pad=0, stride=self.stride,
+            bn_prefix=f"{self.prefix}.conv.{j}.1", act=None))
+        self.subunits = layers
+
+    @property
+    def hyper_params(self) -> int:
+        return sum(u.hyper_params for u in self.subunits)
+
+    def apply(self, params, x, w, train=False):
+        out = x
+        ofs = 0
+        for u in self.subunits:
+            out = u.apply(params, out, w[..., ofs:ofs + u.hyper_params], train=train)
+            ofs += u.hyper_params
+        if self.stride == 1 and self.in_ch == self.out_ch:
+            out = out + x
+        return out
+
+
+Unit = Union[PatchConvUnit, InvResUnit, V01InvResUnit]
+
+
+def apply_signal2weights(params, s, route: S2W):
+    """Generate a unit's weight map from the signal: grouped 1x1 conv on the
+    routed channel slice, clipped to hyper_params (hyperseg_v1_0.py:321-326)."""
+    sl = s[..., route.signal_index:route.signal_index + route.signal_ch]
+    w = F.conv2d(sl, params[f"{route.prefix}.weight"], groups=route.groups)
+    return w[..., :route.hyper_params]
+
+
+def init_unit_params(params, rng, units: Sequence[Unit]):
+    """Initialize BN + signal2weights parameters for a list of units (torch
+    default inits: BN affine = (1, 0); conv = kaiming-uniform bounds)."""
+    i = 0
+
+    def nk():
+        nonlocal i
+        i += 1
+        return jax.random.fold_in(rng, i)
+
+    def bn(name, c):
+        params[f"{name}.weight"] = jnp.ones((c,), jnp.float32)
+        params[f"{name}.bias"] = jnp.zeros((c,), jnp.float32)
+        params[f"{name}.running_mean"] = jnp.zeros((c,), jnp.float32)
+        params[f"{name}.running_var"] = jnp.ones((c,), jnp.float32)
+
+    def s2w_conv(route: S2W):
+        fan_in = route.signal_ch // route.groups
+        bound = 1.0 / math.sqrt(fan_in)
+        params[f"{route.prefix}.weight"] = jax.random.uniform(
+            nk(), (1, 1, fan_in, route.out_ch), jnp.float32, -bound, bound)
+
+    for u in units:
+        if isinstance(u, PatchConvUnit):
+            if u.bn_prefix:
+                bn(u.bn_prefix, u.out_ch)
+        elif isinstance(u, InvResUnit):
+            bn(f"{u.prefix}.bn1", u.hidden)
+            bn(f"{u.prefix}.bn2", u.hidden)
+            bn(f"{u.prefix}.bn3", u.out_ch)
+        elif isinstance(u, V01InvResUnit):
+            init_unit_params(params, nk(), u.subunits)
+        if u.s2w is not None:
+            s2w_conv(u.s2w)
+
+
+# ---------------------------------------------------------------------------
+# v1_0 / v0_2 decoder
+# ---------------------------------------------------------------------------
+
+
+class MultiScaleDecoderV1:
+    """Reference MultiScaleDecoder (hyperseg_v1_0.py:94-253).
+
+    feat_channels: [in_nc] + backbone feature channels (finest->coarsest,
+    excluding head). Levels run coarsest->finest; level ℓ consumes the
+    upsampled previous output concat the level's feature concat a 2-channel
+    coordinate grid, through one or more hyper units.
+    """
+
+    def __init__(self, feat_channels, signal_channels, num_classes=3,
+                 kernel_sizes=3, level_layers=1, level_channels=None,
+                 expand_ratio=1, groups=1, weight_groups=1, with_out_fc=False,
+                 out_kernel_size=1, dropout=None, coords_res=None,
+                 legacy_divide=False, prefix="decoder"):
+        levels = len(level_channels)
+        ks = ([kernel_sizes] * levels if isinstance(kernel_sizes, int) else list(kernel_sizes))
+        ll = ([level_layers] * levels if isinstance(level_layers, int) else list(level_layers))
+        er = ([expand_ratio] * levels if isinstance(expand_ratio, (int, float))
+              else list(expand_ratio))
+        assert len(ks) == levels and len(ll) == levels and len(er) == levels
+        self.levels = levels
+        self.prefix = prefix
+        self.num_classes = num_classes
+        self.dropout = dropout
+        rev_feats = list(feat_channels[::-1])
+
+        self.level_units: List[List[Unit]] = []
+        prev = 0
+        for lv in range(levels):
+            prev += rev_feats[lv]
+            out_ngf = level_channels[lv]
+            units: List[Unit] = []
+            for layer in range(ll[lv]):
+                if (not with_out_fc) and lv == levels - 1 and layer == ll[lv] - 1:
+                    out_ngf = num_classes
+                in_ch = prev + 2
+                if ks[lv] > 1:
+                    units.append(InvResUnit(
+                        prefix=f"{prefix}.level_{lv}.{layer}",
+                        in_ch=in_ch, out_ch=out_ngf,
+                        hidden=int(round(in_ch * er[lv])), kernel=ks[lv]))
+                else:
+                    g = groups[lv] if isinstance(groups, (list, tuple)) else groups
+                    units.append(PatchConvUnit(
+                        prefix=f"{prefix}.level_{lv}.{layer}.0",
+                        in_ch=in_ch, out_ch=out_ngf, kernel=ks[lv], groups=g,
+                        pad=ks[lv] // 2,
+                        bn_prefix=f"{prefix}.level_{lv}.{layer}.1", act="relu"))
+                prev = out_ngf
+            self.level_units.append(units)
+
+        self.out_fc_units: List[Unit] = []
+        if with_out_fc:
+            self.out_fc_units.append(PatchConvUnit(
+                prefix=f"{prefix}.out_fc.{1 if dropout is not None else 0}",
+                in_ch=prev, out_ch=num_classes, kernel=out_kernel_size,
+                pad=out_kernel_size // 2))
+
+        # hyper-param bookkeeping + signal routing (quirks #1, #2, #4)
+        all_units = [u for lvl in self.level_units for u in lvl] + self.out_fc_units
+        hyper = [u.hyper_params for u in all_units]
+        self.param_groups = [sum(u.hyper_params for u in lvl) for lvl in self.level_units]
+        if with_out_fc:
+            self.param_groups.append(sum(u.hyper_params for u in self.out_fc_units))
+        self.hyper_params = sum(hyper)
+        self.signal_channels = signal_channels
+
+        min_unit = (max(weight_groups) if isinstance(weight_groups, (list, tuple))
+                    else weight_groups)
+        split_fn = divide_feature_legacy_v02 if legacy_divide else divide_feature
+        sig_feats = list(split_fn(signal_channels, hyper, min_unit=min_unit))
+        wg = list(weight_groups) if isinstance(weight_groups, (list, tuple)) else None
+        # Quirk #1: the reference recursion restarts signal_index at 0 for each
+        # level container, so consecutive units *within* one level accumulate
+        # but levels all start at 0.
+        k = 0
+        for lvl_units in (self.level_units + ([self.out_fc_units] if with_out_fc else [])):
+            sig_index = 0
+            for u in lvl_units:
+                ch = sig_feats[k]
+                g = wg[k] if wg is not None else weight_groups
+                u.s2w = S2W(prefix=f"{u.prefix}.signal2weights",
+                            signal_ch=int(ch), signal_index=sig_index, groups=g,
+                            out_ch=next_multiply(u.hyper_params, g),
+                            hyper_params=u.hyper_params)
+                sig_index += int(ch)
+                k += 1
+
+    def init(self, rng, params=None):
+        params = {} if params is None else params
+        all_units = [u for lvl in self.level_units for u in lvl] + self.out_fc_units
+        init_unit_params(params, rng, all_units)
+        return params
+
+    def __call__(self, params, xs, s, *, train=False):
+        """xs: [input_image, feat_s2, ..., feat_s16] (finest->coarsest, head
+        excluded); s: signal (B, fh, fw, C) at stride 32."""
+        p = None
+        for lv, units in enumerate(self.level_units):
+            feat = xs[-lv - 1]
+            if p is None:
+                p = feat
+            else:
+                if p.shape[1:3] != feat.shape[1:3]:
+                    p = F.resize_bilinear(p, feat.shape[1:3])
+                p = jnp.concatenate([feat, p], axis=-1)
+            coords = F.image_coordinates(p.shape[0], p.shape[1], p.shape[2], p.dtype)
+            p = jnp.concatenate([coords, p], axis=-1)
+
+            # Quirk #2: the level container slices the signal by hyper ranges,
+            # clamped to the actual channel count.
+            base = 0
+            for u in units:
+                hi = min(base + u.hyper_params, s.shape[-1])
+                lo = min(base, hi)
+                w = apply_signal2weights(params, s[..., lo:hi] if (lo, hi) != (0, s.shape[-1]) else s, u.s2w) \
+                    if u.s2w is not None else s[..., lo:hi]
+                p = u.apply(params, p, w, train=train)
+                base += u.hyper_params
+
+        for u in self.out_fc_units:
+            w = apply_signal2weights(params, s, u.s2w)
+            p = u.apply(params, p, w, train=train)
+
+        if p.shape[1:3] != xs[0].shape[1:3]:
+            p = F.resize_bilinear(p, xs[0].shape[1:3])
+        return p

@@ -1,0 +1,77 @@
+"""HyperGen: backbone -> weight mapper (context head) -> dynamic decoder.
+
+Shared top-level module for all HyperSeg variants (reference:
+hyperseg_v1_0.py:12-91, hyperseg_v0_1.py:11-88, hyperseg_v1_0_unify.py:12-93 —
+their HyperGen classes are structurally identical; only the decoder/mapper
+differ). Pure-functional: the class is a static plan; `__call__` is the
+jit-traceable forward.
+
+Test-time augmentation (pyramid + hflip gather, hyperseg_v1_0.py:62-91) is
+exposed via `forward_pyramid`; note the reference quirk that plain tensor
+inputs bypass TTA entirely (quirk #5) — `__call__` is that plain path.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from hyperseg_tpu.nn import functional as F
+
+
+class HyperGen:
+    def __init__(self, backbone, decoder, weight_mapper, *,
+                 inference_hflip=False, inference_gather="mean"):
+        self.backbone = backbone
+        self.decoder = decoder
+        self.weight_mapper = weight_mapper
+        self.inference_hflip = inference_hflip
+        self.inference_gather = inference_gather
+
+    @property
+    def hyper_params(self):
+        return self.decoder.hyper_params
+
+    def init(self, rng):
+        params = {}
+        kb, kw, kd = jax.random.split(rng, 3)
+        bp = self.backbone.init(kb)
+        params.update({f"backbone.{k}": v for k, v in bp.items()})
+        self.weight_mapper.init(kw, params)
+        self.decoder.init(kd, params)
+        return params
+
+    def _backbone_params(self, params):
+        return {k[len("backbone."):]: v for k, v in params.items()
+                if k.startswith("backbone.")}
+
+    def __call__(self, params, x, *, train=False, rng=None):
+        """Single-tensor forward (process_single_tensor, hyperseg_v1_0.py:52-60).
+        x: (B, H, W, 3) NHWC -> logits (B, H, W, num_classes)."""
+        feats = self.backbone(self._backbone_params(params), x, train=train, rng=rng)
+        s = self.weight_mapper(params, feats[-1], train=train)
+        return self.decoder(params, [x] + feats[:-1], s, train=train)
+
+    def forward_pyramid(self, params, pyramid: Sequence, *, train=False):
+        """Multi-scale + optional hflip ensembling (hyperseg_v1_0.py:71-91).
+        The first pyramid level sets the output resolution."""
+        out_res = pyramid[0].shape[1:3]
+        out = None
+        for x in pyramid:
+            if self.inference_hflip:
+                a = self(params, x, train=train)
+                b = self(params, x[:, :, ::-1], train=train)[:, :, ::-1]
+                p = jnp.maximum(a, b)
+            else:
+                p = self(params, x, train=train)
+            if p.shape[1:3] != out_res:
+                p = F.resize_bilinear(p, out_res)
+            if out is None:
+                out = p
+            elif self.inference_gather == "mean":
+                out = (out + p) * 0.5
+            else:
+                out = jnp.maximum(out, p)
+        return out
