@@ -385,3 +385,229 @@ class MultiScaleDecoderV1:
         if p.shape[1:3] != xs[0].shape[1:3]:
             p = F.resize_bilinear(p, xs[0].shape[1:3])
         return p
+
+
+# ---------------------------------------------------------------------------
+# v0_1 decoder
+# ---------------------------------------------------------------------------
+
+
+class MultiScaleDecoderV0:
+    """Oldest decoder generation (hyperseg_v0_1.py:91-202): consumes a *list*
+    of per-level weight tensors emitted by the v0_1 WeightMapper; blocks are
+    MetaPatch compositions (each conv folds back to the full map, BN on the
+    full map); level output channels equal the level's feature channels (no
+    level_channels arg); no final upsample (the last level already runs at
+    input resolution)."""
+
+    def __init__(self, feat_channels, num_classes=3, kernel_sizes=3,
+                 level_layers=1, expand_ratio=1, with_out_fc=False,
+                 out_kernel_size=1, dropout=None, prefix="decoder"):
+        levels = len(feat_channels)
+        ks = ([kernel_sizes] * levels if isinstance(kernel_sizes, int) else list(kernel_sizes))
+        ll = ([level_layers] * levels if isinstance(level_layers, int) else list(level_layers))
+        assert len(ks) == levels and len(ll) == levels
+        self.levels = levels
+        self.prefix = prefix
+        self.num_classes = num_classes
+        rev_feats = list(feat_channels[::-1])
+
+        self.level_units: List[List[Unit]] = []
+        prev = 0
+        for lv in range(levels):
+            ngf = rev_feats[lv]
+            prev += ngf
+            units: List[Unit] = []
+            for layer in range(ll[lv]):
+                if (not with_out_fc) and lv == levels - 1 and layer == ll[lv] - 1:
+                    ngf = num_classes
+                in_ch = prev + 2
+                if ks[lv] > 1:
+                    units.append(V01InvResUnit(
+                        prefix=f"{prefix}.level_{lv}.{layer}",
+                        in_ch=in_ch, out_ch=ngf,
+                        hidden=int(round(in_ch * expand_ratio)),
+                        kernel=ks[lv], expand=expand_ratio))
+                else:
+                    units.append(PatchConvUnit(
+                        prefix=f"{prefix}.level_{lv}.{layer}.0",
+                        in_ch=in_ch, out_ch=ngf, kernel=ks[lv],
+                        pad=ks[lv] // 2,
+                        bn_prefix=f"{prefix}.level_{lv}.{layer}.1", act="relu"))
+                prev = ngf
+            self.level_units.append(units)
+
+        self.out_fc_units: List[Unit] = []
+        if with_out_fc:
+            self.out_fc_units.append(PatchConvUnit(
+                prefix=f"{prefix}.out_fc.{1 if dropout is not None else 0}",
+                in_ch=prev, out_ch=num_classes, kernel=out_kernel_size,
+                pad=out_kernel_size // 2))
+
+        self.param_groups = [sum(u.hyper_params for u in lvl)
+                             for lvl in self.level_units]
+        if with_out_fc:
+            self.param_groups.append(sum(u.hyper_params for u in self.out_fc_units))
+        self.hyper_params = sum(self.param_groups)
+
+    def init(self, rng, params=None):
+        params = {} if params is None else params
+        all_units = [u for lvl in self.level_units for u in lvl] + self.out_fc_units
+        init_unit_params(params, rng, all_units)
+        return params
+
+    def __call__(self, params, xs, weights, *, train=False):
+        """weights: list of per-level weight maps (B, fh, fw, P_level)."""
+        assert isinstance(weights, (list, tuple))
+        p = None
+        for lv, units in enumerate(self.level_units):
+            feat = xs[-lv - 1]
+            if p is None:
+                p = feat
+            else:
+                if p.shape[1:3] != feat.shape[1:3]:
+                    p = F.resize_bilinear(p, feat.shape[1:3])
+                p = jnp.concatenate([feat, p], axis=-1)
+            coords = F.image_coordinates(p.shape[0], p.shape[1], p.shape[2], p.dtype)
+            p = jnp.concatenate([coords, p], axis=-1)
+
+            w = weights[lv]
+            base = 0
+            for u in units:
+                p = u.apply(params, p, w[..., base:base + u.hyper_params], train=train)
+                base += u.hyper_params
+
+        for u in self.out_fc_units:
+            base = 0
+            p = u.apply(params, p, weights[-1][..., base:base + u.hyper_params],
+                        train=train)
+        return p
+
+
+# ---------------------------------------------------------------------------
+# v1_0_unify decoder
+# ---------------------------------------------------------------------------
+
+
+class MultiScaleDecoderUnify:
+    """Unified-weights decoder (hyperseg_v1_0_unify.py:96-259): weight
+    generation is hoisted out of the hyper blocks into a `weight_blocks` list
+    of WeightLayers; levels >= unify_level-1 share a single fused WeightLayer
+    whose output is range-sliced per level (:242-249). Unlike v1_0, the
+    signal-routing indices here are *cumulative* across weight blocks
+    (:275-284) — the reference's index-reset quirk does not apply.
+    """
+
+    def __init__(self, feat_channels, signal_channels, num_classes=3,
+                 kernel_sizes=3, level_layers=1, level_channels=None,
+                 expand_ratio=1, groups=1, weight_groups=1, with_out_fc=False,
+                 out_kernel_size=1, dropout=None, coords_res=None,
+                 unify_level=None, prefix="decoder"):
+        levels = len(level_channels)
+        assert unify_level is not None and 1 <= unify_level <= levels
+        ks = ([kernel_sizes] * levels if isinstance(kernel_sizes, int) else list(kernel_sizes))
+        ll = ([level_layers] * levels if isinstance(level_layers, int) else list(level_layers))
+        er = ([expand_ratio] * levels if isinstance(expand_ratio, (int, float))
+              else list(expand_ratio))
+        self.levels = levels
+        self.unify_level = unify_level
+        self.prefix = prefix
+        self.num_classes = num_classes
+        self.dropout = dropout
+        rev_feats = list(feat_channels[::-1])
+
+        self.level_units: List[List[Unit]] = []
+        prev = 0
+        for lv in range(levels):
+            prev += rev_feats[lv]
+            out_ngf = level_channels[lv]
+            units: List[Unit] = []
+            for layer in range(ll[lv]):
+                if (not with_out_fc) and lv == levels - 1 and layer == ll[lv] - 1:
+                    out_ngf = num_classes
+                in_ch = prev + 2
+                if ks[lv] > 1:
+                    units.append(InvResUnit(
+                        prefix=f"{prefix}.level_blocks.{lv}.{layer}",
+                        in_ch=in_ch, out_ch=out_ngf,
+                        hidden=int(round(in_ch * er[lv])), kernel=ks[lv]))
+                else:
+                    g = groups[lv] if isinstance(groups, (list, tuple)) else groups
+                    units.append(PatchConvUnit(
+                        prefix=f"{prefix}.level_blocks.{lv}.{layer}.0",
+                        in_ch=in_ch, out_ch=out_ngf, kernel=ks[lv], groups=g,
+                        pad=ks[lv] // 2,
+                        bn_prefix=f"{prefix}.level_blocks.{lv}.{layer}.1", act="relu"))
+                prev = out_ngf
+            self.level_units.append(units)
+
+        assert not with_out_fc, "unify decoder with out_fc is not used by any config"
+        self.out_fc_units: List[Unit] = []
+
+        level_sums = [sum(u.hyper_params for u in lvl) for lvl in self.level_units]
+        # per-level fused slicing ranges for the shared weight block (:175)
+        self._ranges = [0]
+        for lv in range(unify_level - 1, levels):
+            self._ranges.append(self._ranges[-1] + level_sums[lv])
+        # one WeightLayer per level below unify, one fused for the rest (:172-178)
+        targets = level_sums[:unify_level - 1] + [sum(level_sums[unify_level - 1:])]
+        self.param_groups = list(targets)
+        self.hyper_params = sum(targets)
+        self.signal_channels = signal_channels
+
+        min_unit = (max(weight_groups) if isinstance(weight_groups, (list, tuple))
+                    else weight_groups)
+        sig_feats = list(divide_feature(signal_channels, targets, min_unit=min_unit))
+        wg = list(weight_groups) if isinstance(weight_groups, (list, tuple)) else None
+        self.weight_routes: List[S2W] = []
+        sig_index = 0
+        for i, t in enumerate(targets):
+            g = wg[i] if wg is not None else weight_groups
+            self.weight_routes.append(S2W(
+                prefix=f"{prefix}.weight_blocks.{i}.signal2weights",
+                signal_ch=int(sig_feats[i]), signal_index=sig_index, groups=g,
+                out_ch=next_multiply(t, g), hyper_params=t))
+            sig_index += int(sig_feats[i])
+
+    def init(self, rng, params=None):
+        params = {} if params is None else params
+        all_units = [u for lvl in self.level_units for u in lvl]
+        init_unit_params(params, rng, all_units)
+        for i, r in enumerate(self.weight_routes):
+            fan_in = r.signal_ch // r.groups
+            bound = 1.0 / math.sqrt(fan_in)
+            params[f"{r.prefix}.weight"] = jax.random.uniform(
+                jax.random.fold_in(rng, 7000 + i), (1, 1, fan_in, r.out_ch),
+                jnp.float32, -bound, bound)
+        return params
+
+    def __call__(self, params, xs, s, *, train=False):
+        p = None
+        w_shared = None
+        for lv, units in enumerate(self.level_units):
+            feat = xs[-lv - 1]
+            if p is None:
+                p = feat
+            else:
+                if p.shape[1:3] != feat.shape[1:3]:
+                    p = F.resize_bilinear(p, feat.shape[1:3])
+                p = jnp.concatenate([feat, p], axis=-1)
+            coords = F.image_coordinates(p.shape[0], p.shape[1], p.shape[2], p.dtype)
+            p = jnp.concatenate([coords, p], axis=-1)
+
+            if lv < self.unify_level - 1:
+                w = apply_signal2weights(params, s, self.weight_routes[lv])
+            else:
+                if lv == self.unify_level - 1:
+                    w_shared = apply_signal2weights(params, s, self.weight_routes[-1])
+                i = lv - self.unify_level + 1
+                w = w_shared[..., self._ranges[i]:self._ranges[i + 1]]
+
+            base = 0
+            for u in units:
+                p = u.apply(params, p, w[..., base:base + u.hyper_params], train=train)
+                base += u.hyper_params
+
+        if p.shape[1:3] != xs[0].shape[1:3]:
+            p = F.resize_bilinear(p, xs[0].shape[1:3])
+        return p
