@@ -262,21 +262,18 @@ class EfficientNet:
 
     # -- forward ------------------------------------------------------------
 
-    def _bn(self, params, name, x):
-        return F.batch_norm(
-            x, params[f"{name}.weight"], params[f"{name}.bias"],
-            params[f"{name}.running_mean"], params[f"{name}.running_var"],
-            eps=BN_EPS)
+    def _bn(self, params, name, x, ctx=None):
+        return F.apply_bn(params, name, x, ctx, eps=BN_EPS, momentum=BN_MOMENTUM)
 
-    def _block(self, params, prefix, bp: MBConvPlan, x, *, train, drop_rate, rng):
+    def _block(self, params, prefix, bp: MBConvPlan, x, ctx, *, drop_rate, rng):
         inputs = x
         mid = bp.in_ch * bp.expand
         if bp.expand != 1:
             x = F.conv2d(x, params[f"{prefix}._expand_conv.weight"])
-            x = F.swish(self._bn(params, f"{prefix}._bn0", x))
+            x = F.swish(self._bn(params, f"{prefix}._bn0", x, ctx))
         x = F.conv2d(x, params[f"{prefix}._depthwise_conv.weight"],
                      stride=(bp.stride, bp.stride), padding=bp.dw_pad, groups=mid)
-        x = F.swish(self._bn(params, f"{prefix}._bn1", x))
+        x = F.swish(self._bn(params, f"{prefix}._bn1", x, ctx))
         if bp.se_ch is not None:
             se = F.adaptive_avg_pool_1(x)
             se = F.conv2d(se, params[f"{prefix}._se_reduce.weight"],
@@ -286,9 +283,9 @@ class EfficientNet:
                           params[f"{prefix}._se_expand.bias"])
             x = jax.nn.sigmoid(se) * x
         x = F.conv2d(x, params[f"{prefix}._project_conv.weight"])
-        x = self._bn(params, f"{prefix}._bn2", x)
+        x = self._bn(params, f"{prefix}._bn2", x, ctx)
         if bp.id_skip and bp.stride == 1 and bp.in_ch == bp.out_ch:
-            if train and drop_rate and rng is not None:
+            if ctx is not None and ctx.train and drop_rate and rng is not None:
                 keep = 1.0 - drop_rate
                 mask = jnp.floor(keep + jax.random.uniform(
                     rng, (x.shape[0], 1, 1, 1), x.dtype))
@@ -296,19 +293,21 @@ class EfficientNet:
             x = x + inputs
         return x
 
-    def __call__(self, params, x, *, train=False, rng=None):
+    def __call__(self, params, x, ctx=None):
         """x: (B, H, W, in_channels) NHWC. Returns the multi-scale feature list
         (one per stride level, compressed) + the stride-32 head feature —
         mirroring extract_features_list (efficientnet.py:319-363)."""
+        train = ctx is not None and ctx.train
+        rng = ctx.rng if ctx is not None else None
         x = F.conv2d(x, params["_conv_stem.weight"], stride=(2, 2), padding=self.stem_pad)
-        x = F.swish(self._bn(params, "_bn0", x))
+        x = F.swish(self._bn(params, "_bn0", x, ctx))
 
         feats = []
         n = len(self.blocks)
         rngs = jax.random.split(rng, n) if (train and rng is not None) else [None] * n
         for i, bp in enumerate(self.blocks):
             drop_rate = self.drop_connect_rate * i / n if self.drop_connect_rate else 0.0
-            x = self._block(params, f"_blocks.{i}", bp, x, train=train,
+            x = self._block(params, f"_blocks.{i}", bp, x, ctx,
                             drop_rate=drop_rate, rng=rngs[i])
             if bp.is_feat:
                 fc = self.feat_fc[len(feats)] if self.out_feat_scale is not None else None
@@ -316,15 +315,11 @@ class EfficientNet:
                     feats.append(x)
                 else:
                     f = F.conv2d(x, params[f"_feat_fc_{len(feats)}.0.weight"])
-                    f = F.batch_norm(
-                        f, params[f"_feat_fc_{len(feats)}.1.weight"],
-                        params[f"_feat_fc_{len(feats)}.1.bias"],
-                        params[f"_feat_fc_{len(feats)}.1.running_mean"],
-                        params[f"_feat_fc_{len(feats)}.1.running_var"], eps=BN_EPS)
+                    f = self._bn(params, f"_feat_fc_{len(feats)}.1", f, ctx)
                     feats.append(f)
 
         x = F.conv2d(x, params["_conv_head.weight"])
-        x = F.swish(self._bn(params, "_bn1", x))
+        x = F.swish(self._bn(params, "_bn1", x, ctx))
         if self.pool:
             x = jnp.mean(x, axis=(1, 2))
         if train and self.dropout_rate and rng is not None:

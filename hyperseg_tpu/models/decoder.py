@@ -79,7 +79,7 @@ class PatchConvUnit:
     def hyper_params(self) -> int:
         return self.out_ch * (self.in_ch // self.groups) * self.kernel * self.kernel
 
-    def apply(self, params, x, w, train=False):
+    def apply(self, params, x, w, ctx=None):
         b, h, wd, c = x.shape
         fh, fw = w.shape[1], w.shape[2]
         if self.pad > 0:
@@ -91,10 +91,8 @@ class PatchConvUnit:
                                  groups=self.groups, stride=(self.stride, self.stride))
         out = P.unblock_patches(out)
         if self.bn_prefix is not None:
-            out = F.batch_norm(
-                out, params[f"{self.bn_prefix}.weight"], params[f"{self.bn_prefix}.bias"],
-                params[f"{self.bn_prefix}.running_mean"], params[f"{self.bn_prefix}.running_var"],
-                eps=BN_EPS)
+            out = F.apply_bn(params, self.bn_prefix, out, ctx, eps=BN_EPS,
+                             momentum=BN_MOMENTUM)
         if self.act:
             out = F.ACTIVATIONS[self.act](out)
         return out
@@ -127,7 +125,7 @@ class InvResUnit:
     def hyper_params(self) -> int:
         return self.ranges[-1]
 
-    def apply(self, params, x, w, train=False):
+    def apply(self, params, x, w, ctx=None):
         act = F.ACTIVATIONS[self.act]
         r = self.ranges
         fh, fw = w.shape[1], w.shape[2]
@@ -135,10 +133,8 @@ class InvResUnit:
         xp = P.extract_patches_with_halo(x, fh, fw, (pad, pad), mode=self.padding_mode)
 
         def bn(name, t):
-            return F.batch_norm(
-                t, params[f"{self.prefix}.{name}.weight"], params[f"{self.prefix}.{name}.bias"],
-                params[f"{self.prefix}.{name}.running_mean"],
-                params[f"{self.prefix}.{name}.running_var"], eps=BN_EPS)
+            return F.apply_bn(params, f"{self.prefix}.{name}", t, ctx,
+                              eps=BN_EPS, momentum=BN_MOMENTUM)
 
         h = P.patch_pointwise(xp, w[..., r[0]:r[1]], self.hidden)
         h = act(bn("bn1", h))
@@ -195,11 +191,11 @@ class V01InvResUnit:
     def hyper_params(self) -> int:
         return sum(u.hyper_params for u in self.subunits)
 
-    def apply(self, params, x, w, train=False):
+    def apply(self, params, x, w, ctx=None):
         out = x
         ofs = 0
         for u in self.subunits:
-            out = u.apply(params, out, w[..., ofs:ofs + u.hyper_params], train=train)
+            out = u.apply(params, out, w[..., ofs:ofs + u.hyper_params], ctx)
             ofs += u.hyper_params
         if self.stride == 1 and self.in_ch == self.out_ch:
             out = out + x
@@ -352,7 +348,7 @@ class MultiScaleDecoderV1:
         init_unit_params(params, rng, all_units)
         return params
 
-    def __call__(self, params, xs, s, *, train=False):
+    def __call__(self, params, xs, s, ctx=None):
         """xs: [input_image, feat_s2, ..., feat_s16] (finest->coarsest, head
         excluded); s: signal (B, fh, fw, C) at stride 32."""
         p = None
@@ -375,12 +371,12 @@ class MultiScaleDecoderV1:
                 lo = min(base, hi)
                 w = apply_signal2weights(params, s[..., lo:hi] if (lo, hi) != (0, s.shape[-1]) else s, u.s2w) \
                     if u.s2w is not None else s[..., lo:hi]
-                p = u.apply(params, p, w, train=train)
+                p = u.apply(params, p, w, ctx)
                 base += u.hyper_params
 
         for u in self.out_fc_units:
             w = apply_signal2weights(params, s, u.s2w)
-            p = u.apply(params, p, w, train=train)
+            p = u.apply(params, p, w, ctx)
 
         if p.shape[1:3] != xs[0].shape[1:3]:
             p = F.resize_bilinear(p, xs[0].shape[1:3])
@@ -456,7 +452,7 @@ class MultiScaleDecoderV0:
         init_unit_params(params, rng, all_units)
         return params
 
-    def __call__(self, params, xs, weights, *, train=False):
+    def __call__(self, params, xs, weights, ctx=None):
         """weights: list of per-level weight maps (B, fh, fw, P_level)."""
         assert isinstance(weights, (list, tuple))
         p = None
@@ -474,13 +470,13 @@ class MultiScaleDecoderV0:
             w = weights[lv]
             base = 0
             for u in units:
-                p = u.apply(params, p, w[..., base:base + u.hyper_params], train=train)
+                p = u.apply(params, p, w[..., base:base + u.hyper_params], ctx)
                 base += u.hyper_params
 
         for u in self.out_fc_units:
             base = 0
             p = u.apply(params, p, weights[-1][..., base:base + u.hyper_params],
-                        train=train)
+                        ctx)
         return p
 
 
@@ -581,7 +577,7 @@ class MultiScaleDecoderUnify:
                 jnp.float32, -bound, bound)
         return params
 
-    def __call__(self, params, xs, s, *, train=False):
+    def __call__(self, params, xs, s, ctx=None):
         p = None
         w_shared = None
         for lv, units in enumerate(self.level_units):
@@ -605,7 +601,7 @@ class MultiScaleDecoderUnify:
 
             base = 0
             for u in units:
-                p = u.apply(params, p, w[..., base:base + u.hyper_params], train=train)
+                p = u.apply(params, p, w[..., base:base + u.hyper_params], ctx)
                 base += u.hyper_params
 
         if p.shape[1:3] != xs[0].shape[1:3]:

@@ -47,25 +47,34 @@ class HyperGen:
         return {k[len("backbone."):]: v for k, v in params.items()
                 if k.startswith("backbone.")}
 
-    def __call__(self, params, x, *, train=False, rng=None):
+    def __call__(self, params, x, ctx=None, *, train=False, rng=None):
         """Single-tensor forward (process_single_tensor, hyperseg_v1_0.py:52-60).
         x: (B, H, W, 3) NHWC -> logits (B, H, W, num_classes)."""
-        feats = self.backbone(self._backbone_params(params), x, train=train, rng=rng)
-        s = self.weight_mapper(params, feats[-1], train=train)
-        return self.decoder(params, [x] + feats[:-1], s, train=train)
+        if ctx is None and (train or rng is not None):
+            ctx = F.Ctx(train=train, rng=rng)
+        feats = self.backbone(self._backbone_params(params), x, ctx)
+        s = self.weight_mapper(params, feats[-1], ctx)
+        return self.decoder(params, [x] + feats[:-1], s, ctx)
 
-    def forward_pyramid(self, params, pyramid: Sequence, *, train=False):
+    def apply_train(self, params, x, rng):
+        """Training forward: returns (logits, state_updates) where
+        state_updates carries new BN running stats (flat dict)."""
+        ctx = F.Ctx(train=True, rng=rng)
+        y = self(params, x, ctx)
+        return y, ctx.updates
+
+    def forward_pyramid(self, params, pyramid: Sequence):
         """Multi-scale + optional hflip ensembling (hyperseg_v1_0.py:71-91).
         The first pyramid level sets the output resolution."""
         out_res = pyramid[0].shape[1:3]
         out = None
         for x in pyramid:
             if self.inference_hflip:
-                a = self(params, x, train=train)
-                b = self(params, x[:, :, ::-1], train=train)[:, :, ::-1]
+                a = self(params, x)
+                b = self(params, x[:, :, ::-1])[:, :, ::-1]
                 p = jnp.maximum(a, b)
             else:
-                p = self(params, x, train=train)
+                p = self(params, x)
             if p.shape[1:3] != out_res:
                 p = F.resize_bilinear(p, out_res)
             if out is None:

@@ -26,14 +26,12 @@ from hyperseg_tpu.models.signal_split import divide_feature_legacy_v01, next_mul
 BN_EPS = 1e-5
 
 
-def _conv_bn_relu(params, prefix, x, *, stride=1, relu=True, bias=False,
-                  groups=1):
+def _conv_bn_relu(params, prefix, x, ctx=None, *, stride=1, relu=True,
+                  bias=False, groups=1):
     b = params.get(f"{prefix}.0.bias")
     x = F.conv2d(x, params[f"{prefix}.0.weight"], b, stride=(stride, stride),
                  groups=groups)
-    x = F.batch_norm(x, params[f"{prefix}.1.weight"], params[f"{prefix}.1.bias"],
-                     params[f"{prefix}.1.running_mean"],
-                     params[f"{prefix}.1.running_var"], eps=BN_EPS)
+    x = F.apply_bn(params, f"{prefix}.1", x, ctx, eps=BN_EPS)
     return F.relu(x) if relu else x
 
 
@@ -82,13 +80,14 @@ class WeightMapperV1:
             _init_bn(params, f"{p}.up_blocks.{i}.1", c // 2)
         return params
 
-    def __call__(self, params, x, *, train=False):
+    def __call__(self, params, x, ctx=None):
         p = self.prefix
-        x = _conv_bn_relu(params, f"{p}.in_conv", x)
+        x = _conv_bn_relu(params, f"{p}.in_conv", x, ctx)
 
         skips = [x]
         for i in range(self.levels - 1):
-            skips.append(_conv_bn_relu(params, f"{p}.down_blocks.{i}", skips[-1], stride=2))
+            skips.append(_conv_bn_relu(params, f"{p}.down_blocks.{i}", skips[-1],
+                                       ctx, stride=2))
 
         # Global-context bottleneck: average the coarsest map and broadcast it
         # back (hyperseg_v1_0.py:433-437).
@@ -98,7 +97,7 @@ class WeightMapperV1:
 
         for i in range(self.levels - 2, -1, -1):
             x = jnp.concatenate([skips.pop(-1), x], axis=-1)
-            x = _conv_bn_relu(params, f"{p}.up_blocks.{i}", x)
+            x = _conv_bn_relu(params, f"{p}.up_blocks.{i}", x, ctx)
             x = F.upsample_nearest(x, (x.shape[1] * 2, x.shape[2] * 2))
 
         return jnp.concatenate([skips.pop(-1), x], axis=-1)
@@ -141,13 +140,13 @@ class WeightMapperV0:
                        cout, bias=self.bias)
         return params
 
-    def __call__(self, params, x, *, train=False):
+    def __call__(self, params, x, ctx=None):
         p = self.prefix
         if self.levels > 1:
             feats = [x]
             for i in range(self.levels - 1):
                 feats.append(_conv_bn_relu(params, f"{p}.down_{i}", feats[-1],
-                                           stride=2, groups=self.down_groups))
+                                           ctx, stride=2, groups=self.down_groups))
             if self.avg_pool:
                 last = feats[-1]
                 if last.shape[1] != 1 or last.shape[2] != 1:
@@ -158,7 +157,7 @@ class WeightMapperV0:
                                         (feats[-1].shape[1], feats[-1].shape[2]))
                 cat = jnp.concatenate([feats[-1], up], axis=-1)
                 # flat blocks: ReLU only for level > 0 (hyperseg_v0_1.py:285-289)
-                feats[-1] = _conv_bn_relu(params, f"{p}.flat_{i}", cat,
+                feats[-1] = _conv_bn_relu(params, f"{p}.flat_{i}", cat, ctx,
                                           relu=(i > 0), groups=self.flat_groups)
             x = feats[-1]
 

@@ -162,6 +162,43 @@ def batch_norm_train(x, scale, bias, mean, var, *, eps=1e-5, momentum=0.1,
     return y, new_mean, new_var
 
 
+class Ctx:
+    """Forward-pass context: train/eval switch, RNG, and collected state
+    updates (BN running stats). Pure-functional: `updates` is filled with
+    traced arrays during apply and returned alongside the outputs; merging
+    them into the parameter dict is the caller's (train step's) job.
+    """
+
+    def __init__(self, train=False, rng=None):
+        self.train = train
+        self.rng = rng
+        self.updates = {}
+
+    def next_rng(self, tag: int):
+        if self.rng is None:
+            return None
+        return jax.random.fold_in(self.rng, tag)
+
+
+def apply_bn(params, prefix, x, ctx: Ctx | None = None, *, eps=1e-5,
+             momentum=0.1):
+    """BatchNorm by parameter prefix. Eval (or no ctx): running-stats affine.
+    Train: batch stats over all-but-channel axes (matches torch BatchNorm2d on
+    NHWC maps and the reference's patch-batch BN on patch-blocked 6-D tensors),
+    recording updated running stats in ctx.updates."""
+    scale = params[f"{prefix}.weight"]
+    bias = params[f"{prefix}.bias"]
+    mean = params[f"{prefix}.running_mean"]
+    var = params[f"{prefix}.running_var"]
+    if ctx is None or not ctx.train:
+        return batch_norm(x, scale, bias, mean, var, eps=eps)
+    y, new_mean, new_var = batch_norm_train(x, scale, bias, mean, var,
+                                            eps=eps, momentum=momentum)
+    ctx.updates[f"{prefix}.running_mean"] = new_mean
+    ctx.updates[f"{prefix}.running_var"] = new_var
+    return y
+
+
 # ---------------------------------------------------------------------------
 # Activations
 # ---------------------------------------------------------------------------
