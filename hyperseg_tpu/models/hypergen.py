@@ -52,7 +52,14 @@ class HyperGen:
         x: (B, H, W, 3) NHWC -> logits (B, H, W, num_classes)."""
         if ctx is None and (train or rng is not None):
             ctx = F.Ctx(train=train, rng=rng)
-        feats = self.backbone(self._backbone_params(params), x, ctx)
+        # the backbone sees stripped parameter names; collect its BN-state
+        # updates in a sub-context and re-prefix them
+        bctx = None
+        if ctx is not None:
+            bctx = F.Ctx(train=ctx.train, rng=ctx.rng)
+        feats = self.backbone(self._backbone_params(params), x, bctx)
+        if bctx is not None and bctx.updates:
+            ctx.updates.update({f"backbone.{k}": v for k, v in bctx.updates.items()})
         s = self.weight_mapper(params, feats[-1], ctx)
         return self.decoder(params, [x] + feats[:-1], s, ctx)
 

@@ -1,0 +1,80 @@
+"""Segmentation losses.
+
+BootstrappedCrossEntropy mirrors losses/bootstrapped_ce_loss.py:8-40: per
+image, keep only the hardest pixels — all pixels with loss > thresh if the
+k-th largest exceeds thresh, else exactly the top-k — and average; batch mean
+over images. jit-friendly: the data-dependent branch becomes a mask select
+(top-k always computed via jax.lax.top_k on static shapes).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def softmax_cross_entropy(logits, labels, *, ignore_index=255, weight=None):
+    """Per-pixel CE. logits: (..., C); labels: (...) int. Ignored pixels get 0
+    loss (and a 0 mask you can reuse for normalization)."""
+    num_classes = logits.shape[-1]
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    if weight is not None:
+        nll = nll * weight[safe]
+    return jnp.where(valid, nll, 0.0), valid
+
+
+def bootstrapped_cross_entropy(logits, labels, *, k=4096, thresh=0.3,
+                               ignore_index=255, weight=None):
+    """logits: (B, H, W, C); labels: (B, H, W) int32. Returns scalar loss."""
+    b = logits.shape[0]
+    loss, _ = softmax_cross_entropy(logits, labels, ignore_index=ignore_index,
+                                    weight=weight)
+    flat = loss.reshape(b, -1)
+    n = flat.shape[1]
+    kk = min(k, n - 1)
+
+    def per_image(row):
+        # sorted descending; the reference tests sorted[k] (the (k+1)-th value)
+        srt = -jax.lax.sort(-row)
+        take_all = srt[kk] > thresh
+        # mean over {loss > thresh} vs mean over top-k
+        above = srt > thresh
+        mean_above = jnp.sum(jnp.where(above, srt, 0.0)) / jnp.maximum(
+            jnp.sum(above), 1)
+        mean_topk = jnp.mean(srt[:k] if k <= n else srt)
+        return jnp.where(take_all, mean_above, mean_topk)
+
+    return jnp.mean(jax.vmap(per_image)(flat))
+
+
+class BootstrappedCrossEntropyLoss:
+    """Callable config object mirroring the reference class signature."""
+
+    def __init__(self, k=4096, thresh=0.3, weight=None, ignore_index=-100,
+                 reduction="mean"):
+        self.k = k
+        self.thresh = thresh
+        self.weight = None if weight is None else jnp.asarray(weight)
+        self.ignore_index = ignore_index
+
+    def __call__(self, logits, labels):
+        return bootstrapped_cross_entropy(
+            logits, labels, k=self.k, thresh=self.thresh,
+            ignore_index=self.ignore_index, weight=self.weight)
+
+
+def cross_entropy_loss(logits, labels, *, ignore_index=255, weight=None):
+    """Plain masked-mean CE (torch F.cross_entropy reduction='mean' semantics:
+    normalized by the number of valid pixels)."""
+    loss, valid = softmax_cross_entropy(logits, labels,
+                                        ignore_index=ignore_index, weight=weight)
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    if weight is not None:
+        safe = jnp.where(valid, labels, 0)
+        denom = jnp.maximum(jnp.sum(jnp.where(valid, weight[safe], 0.0)), 1e-8)
+    return jnp.sum(loss) / denom

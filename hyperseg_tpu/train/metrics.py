@@ -1,0 +1,76 @@
+"""Segmentation metrics, device-native.
+
+Confusion-matrix accumulation runs on-device (one bincount per batch) instead
+of the reference's per-step host sync (numpy runningScore, train.py:294-338 —
+a deliberate CPU sync point there; here it's a small on-device reduction and
+the host only pulls scalars when logging). Cross-device reduction is a psum of
+the matrix, replacing the reference's dormant
+ConfusionMatrix.reduce_from_all_processes (seg_utils.py:38-44).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def confusion_matrix(labels, preds, num_classes: int, ignore_index=255):
+    """Batched confusion matrix. labels/preds: int arrays of equal shape.
+    Rows = ground truth, cols = prediction (matches both reference
+    accumulators, train.py:299-304 and seg_utils.py:22-36)."""
+    valid = (labels >= 0) & (labels < num_classes)
+    if ignore_index is not None:
+        valid &= labels != ignore_index
+    idx = jnp.where(valid, labels * num_classes + preds, num_classes * num_classes)
+    hist = jnp.bincount(idx.reshape(-1), length=num_classes * num_classes + 1)
+    return hist[:-1].reshape(num_classes, num_classes)
+
+
+def scores_from_confmat(hist):
+    """Metrics bundle from an accumulated confusion matrix (numpy, host side).
+    Returns the reference runningScore quantities (train.py:311-334):
+    overall acc, mean class acc, freq-weighted acc, mean IoU, per-class IoU."""
+    hist = np.asarray(hist, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        acc = np.diag(hist).sum() / hist.sum()
+        acc_cls = np.diag(hist) / hist.sum(axis=1)
+        iu = np.diag(hist) / (hist.sum(axis=1) + hist.sum(axis=0) - np.diag(hist))
+        freq = hist.sum(axis=1) / hist.sum()
+    mean_acc = np.nanmean(acc_cls)
+    mean_iu = np.nanmean(iu)
+    fwavacc = (freq[freq > 0] * iu[freq > 0]).sum()
+    return {
+        "overall_acc": float(acc),
+        "mean_acc": float(mean_acc),
+        "fwavacc": float(fwavacc),
+        "mean_iou": float(mean_iu),
+        "class_iou": iu,
+    }
+
+
+def eval_scores_from_confmat(hist, eps=1e-6):
+    """test.py-style metrics with epsilon guards (seg_utils.py:22-36):
+    global acc, per-class acc, per-class IoU."""
+    hist = np.asarray(hist, dtype=np.float64)
+    diag = np.diag(hist)
+    global_acc = diag.sum() / (hist.sum() + eps)
+    class_acc = diag / (hist.sum(axis=1) + eps)
+    class_iou = diag / (hist.sum(axis=1) + hist.sum(axis=0) - diag + eps)
+    return global_acc, class_acc, class_iou
+
+
+def per_image_jaccard(labels, preds, num_classes: int, ignore_index=0):
+    """Per-image mean IoU used to rank best/worst eval images
+    (test.py:219-227): drops `ignore_index` (background by default) and
+    classes with empty union."""
+    ious = []
+    for c in range(num_classes):
+        if c == ignore_index:
+            continue
+        li, pi = labels == c, preds == c
+        union = np.logical_or(li, pi).sum()
+        if union == 0:
+            continue
+        ious.append(np.logical_and(li, pi).sum() / union)
+    return float(np.mean(ious)) if ious else 0.0

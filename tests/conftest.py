@@ -48,3 +48,34 @@ def torch(reference):
     import torch
     torch.manual_seed(0)
     return torch
+
+
+@pytest.fixture(scope="session")
+def calibrate(torch):
+    """Make a freshly-initialized reference model numerically non-degenerate.
+
+    At default init every conv shrinks activation variance by ~3x and eval-mode
+    BN (running stats 0/1) never rescales, so deep outputs underflow toward 0
+    and logits comparisons would be vacuous. One train-mode pass with BN
+    momentum=1 writes real batch statistics into the running buffers; in eval
+    mode every BN then rescales its input to O(1).
+    """
+
+    def _cal(model, x):
+        for m in model.modules():
+            if isinstance(m, torch.nn.modules.batchnorm._BatchNorm):
+                m.momentum = 1.0
+            # zero all stochasticity so the recorded stats exactly match the
+            # eval-mode distribution (otherwise decoder BNs de-calibrate and
+            # activations explode)
+            if isinstance(m, torch.nn.Dropout):
+                m.p = 0.0
+            if hasattr(m, "_global_params") and hasattr(m._global_params, "drop_connect_rate"):
+                m._global_params = m._global_params._replace(drop_connect_rate=0)
+        model.train()
+        with torch.no_grad():
+            model(x)
+        model.eval()
+        return model
+
+    return _cal

@@ -13,13 +13,13 @@ from hyperseg_tpu.models.backbones.efficientnet import EfficientNet
     ("efficientnet-b1", 0.25, (224, 224)),
     ("efficientnet-b3", 0.25, (192, 192)),
 ])
-def test_backbone_features_parity(reference, torch, name, out_feat_scale, res):
+def test_backbone_features_parity(reference, torch, calibrate, name, out_feat_scale, res):
     from hyperseg.models.backbones.efficientnet import EfficientNet as TorchEffNet
 
     tm = TorchEffNet.from_name(name, out_feat_scale=out_feat_scale, head=None,
                                return_features=True)
-    tm.eval()
     x = torch.randn(2, 3, *res)
+    calibrate(tm, x)
     with torch.no_grad():
         ref_feats = tm(x)
 

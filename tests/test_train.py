@@ -1,0 +1,110 @@
+"""Loss parity, metrics, and the SPMD train step on a virtual 8-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hyperseg_tpu.train import losses as L
+from hyperseg_tpu.train import metrics as M
+from hyperseg_tpu.train import schedule as S
+from hyperseg_tpu.train import step as T
+
+
+def test_bootstrapped_ce_parity(reference, torch):
+    from hyperseg.losses.bootstrapped_ce_loss import BootstrappedCrossEntropyLoss
+    b, c, h, w = 3, 19, 32, 64
+    torch.manual_seed(0)
+    logits = torch.randn(b, c, h, w)
+    labels = torch.randint(0, c, (b, h, w))
+    labels[0, :4] = 255  # some ignored pixels
+    # k smaller than the pixel count so both branches are exercised
+    for k, thresh in [(256, 0.3), (100, 5.0), (2047, 0.0)]:
+        ref = BootstrappedCrossEntropyLoss(k=k, thresh=thresh, ignore_index=255)(
+            logits, labels).item()
+        got = L.bootstrapped_cross_entropy(
+            jnp.asarray(logits.numpy().transpose(0, 2, 3, 1)),
+            jnp.asarray(labels.numpy()), k=k, thresh=thresh, ignore_index=255)
+        np.testing.assert_allclose(float(got), ref, rtol=2e-5)
+
+
+def test_plain_ce_parity(reference, torch):
+    import torch.nn.functional as TF
+    b, c, h, w = 2, 12, 16, 16
+    torch.manual_seed(1)
+    logits = torch.randn(b, c, h, w)
+    labels = torch.randint(0, c, (b, h, w))
+    labels[:, :3] = 255
+    ref = TF.cross_entropy(logits, labels, ignore_index=255).item()
+    got = L.cross_entropy_loss(
+        jnp.asarray(logits.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray(labels.numpy()), ignore_index=255)
+    np.testing.assert_allclose(float(got), ref, rtol=2e-5)
+
+
+def test_confusion_matrix_matches_running_score(reference):
+    import sys
+    sys.modules.setdefault("tqdm", __import__("types").ModuleType("tqdm"))
+    rng = np.random.RandomState(0)
+    labels = rng.randint(0, 19, (2, 32, 32))
+    labels[0, 0] = 255
+    preds = rng.randint(0, 19, (2, 32, 32))
+    got = np.asarray(M.confusion_matrix(jnp.asarray(labels), jnp.asarray(preds), 19))
+    # reference runningScore masks labels outside [0, n); 255 drops out
+    mask = (labels >= 0) & (labels < 19)
+    want = np.bincount(19 * labels[mask].astype(int) + preds[mask],
+                       minlength=19 * 19).reshape(19, 19)
+    np.testing.assert_array_equal(got, want)
+    scores = M.scores_from_confmat(got)
+    assert 0 <= scores["mean_iou"] <= 1
+
+
+def test_poly_lr():
+    sched = S.poly_lr(1e-3, 1000, power=0.9)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(1000)) == pytest.approx(0.0)
+    assert float(sched(500)) == pytest.approx(1e-3 * 0.5 ** 0.9)
+
+
+@pytest.mark.slow
+def test_spmd_train_step_8dev():
+    """Full HyperSeg-M train step, jitted over an 8-device (data x spatial)
+    mesh on virtual CPU devices — gradient + BN-stat + metric reductions ride
+    the mesh. This is the same path __graft_entry__.dryrun_multichip runs."""
+    from hyperseg_tpu.parallel import make_mesh, replicate_params, data_sharded, replicated
+    from hyperseg_tpu.models import hyperseg_v1_0 as V1
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(n_data=4, n_spatial=2)
+
+    model = V1.hyperseg_efficientnet(
+        "efficientnet-b1", levels=2, out_feat_scale=[1.0, 0.25, 0.25, 0.25, 0.25],
+        kernel_sizes=[1, 1, 1, 3, 3], level_channels=[64, 32, 16, 16, 16],
+        expand_ratio=2, weight_groups=[32, 16, 8, 16, 4], num_classes=19)
+    params = model.init(jax.random.PRNGKey(0))
+
+    criterion = L.BootstrappedCrossEntropyLoss(k=64, thresh=0.3, ignore_index=255)
+    optimizer = T.make_optimizer(S.poly_lr(1e-3, 100))
+    train_step = T.make_train_step(model, criterion, optimizer, num_classes=19)
+
+    state = T.init_train_state(replicate_params(mesh, params), optimizer)
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.rand(8, 64, 128, 3), jnp.float32),
+        "label": jnp.asarray(rng.randint(0, 19, (8, 64, 128)), jnp.int32),
+    }
+    batch = {k: jax.device_put(v, data_sharded(mesh, spatial_dim=1 if k == "image" else None))
+             for k, v in batch.items()}
+
+    jitted = jax.jit(train_step)
+    new_state, metrics = jitted(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state["step"]) == 1
+    # parameters actually moved
+    k = "decoder.level_0.0.0.signal2weights.weight"
+    assert not np.allclose(np.asarray(new_state["params"][k]),
+                           np.asarray(state["params"][k]))
+    # BN running stats updated
+    k = "backbone._bn0.running_mean"
+    assert not np.allclose(np.asarray(new_state["params"][k]),
+                           np.asarray(state["params"][k]))
