@@ -41,5 +41,5 @@ def hyperseg_efficientnet(model_name, pretrained=False, out_feat_scale=0.25,
     model = build_hypergen(backbone, wm_levels=levels, **kwargs)
     if weights_path is not None:
         from hyperseg_tpu.core import checkpoint as ckpt
-        model._pretrained_params = ckpt.load_params(weights_path)
+        model._pretrained_params, _ = ckpt.load_params(weights_path)
     return model

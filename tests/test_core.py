@@ -1,0 +1,68 @@
+"""Registry / arch-string / checkpoint round-trip tests."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hyperseg_tpu.core import registry, checkpoint as C
+
+
+def test_parse_spec_literals_only():
+    s = registry.parse_spec(
+        "hyperseg_tpu.models.hyperseg_v1_0.hyperseg_efficientnet("
+        "'efficientnet-b0', levels=2, kernel_sizes=[1, 3], "
+        "level_channels=[16, 16], weight_groups=[8, 8], num_classes=5)")
+    assert s.target.endswith("hyperseg_efficientnet")
+    assert s.args == ("efficientnet-b0",)
+    assert s.kwargs["level_channels"] == [16, 16]
+    m = s.build()
+    assert m.decoder.num_classes == 5
+
+
+def test_parse_spec_rejects_code():
+    with pytest.raises(ValueError):
+        registry.parse_spec("mod.fn(__import__('os').system('x'))")
+
+
+def test_reference_arch_string_resolves():
+    # arch strings stored by the reference checkpoints use hyperseg.* paths
+    s = registry.parse_spec(
+        "hyperseg.models.hyperseg_v1_0.hyperseg_efficientnet("
+        "'efficientnet-b0', levels=2, kernel_sizes=[1, 3], "
+        "level_channels=[16, 16], weight_groups=[8, 8], num_classes=3)")
+    m = s.build()
+    assert m.decoder.num_classes == 3
+
+
+def test_arch_string_from_partial():
+    from functools import partial
+    from hyperseg_tpu.models.hyperseg_v1_0 import hyperseg_efficientnet
+    p = partial(hyperseg_efficientnet, "efficientnet-b0", levels=2,
+                kernel_sizes=[1, 3], level_channels=[16, 16], weight_groups=[8, 8])
+    s = C.arch_string(p, num_classes=7)
+    m = registry.parse_spec(s).build()
+    assert m.decoder.num_classes == 7
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    arch = ("hyperseg_tpu.models.hyperseg_v1_0.hyperseg_efficientnet("
+            "'efficientnet-b0', levels=2, kernel_sizes=[1, 3], "
+            "level_channels=[16, 16], weight_groups=[8, 8], num_classes=4)")
+    model = registry.parse_spec(arch).build()
+    params = model.init(jax.random.PRNGKey(0))
+
+    C.save_checkpoint(str(tmp_path), "model", params,
+                      meta={"epoch": 3, "arch": arch, "best_iou": 0.5},
+                      is_best=True)
+    assert os.path.exists(tmp_path / "model_best.npz")
+
+    model2, params2, meta = C.load_model(str(tmp_path / "model_latest.npz"))
+    assert meta["epoch"] == 3
+    assert model2.decoder.num_classes == 4
+    assert set(params2) == set(params)
+    x = jnp.zeros((1, 64, 64, 3))
+    np.testing.assert_allclose(np.asarray(model(params, x)),
+                               np.asarray(model2(params2, x)), atol=1e-6)
