@@ -1,0 +1,79 @@
+"""CamVid dataset (11 classes + Void, RGB-colored masks).
+
+Behavior parity with hyperseg/datasets/camvid.py: masks discovered by the
+`split -> split_labels`, `name.png -> name_L.png` convention (:85), RGB mask
+colors mapped to class indices with unmatched pixels -> 255 (:93-102), the
+SegNet median-frequency class weights (:18-20), and CamVid's own mean/std."""
+
+from __future__ import annotations
+
+import os
+from typing import List
+
+import numpy as np
+from PIL import Image
+
+from hyperseg_tpu.data.datasets import SegDataset, list_images
+
+CLASSES = ["Sky", "Building", "Column-Pole", "Road", "Sidewalk", "Tree",
+           "Sign-Symbol", "Fence", "Car", "Pedestrain", "Bicyclist", "Void"]
+
+# SegNet median-frequency balancing weights (camvid.py:18-20)
+CLASS_WEIGHT = [0.58872014284134, 0.51052379608154, 2.6966278553009,
+                0.45021694898605, 1.1785038709641, 0.77028578519821,
+                2.4782588481903, 2.5273461341858, 1.0122526884079,
+                3.2375309467316, 4.1312313079834, 0]
+
+MEAN = [0.41189489566336, 0.4251328133025, 0.4326707089857]
+STD = [0.27413549931506, 0.28506257482912, 0.28284674400252]
+
+CLASS_COLOR = [
+    (128, 128, 128), (128, 0, 0), (192, 192, 128), (128, 64, 128),
+    (0, 0, 192), (128, 128, 0), (192, 128, 128), (64, 64, 128),
+    (64, 0, 128), (64, 64, 0), (0, 128, 192), (0, 0, 0),
+]
+
+
+class CamVidDataset(SegDataset):
+    def __init__(self, root, split="train", transforms=None):
+        super().__init__(root, transforms)
+        splits = [split] if isinstance(split, str) else list(split)
+        for s in splits:
+            assert s in ("train", "val", "test")
+        self.split = splits
+        self.classes = CLASSES
+        self.class_weight = CLASS_WEIGHT
+        self.weights = CLASS_WEIGHT
+        self.color_map = CLASS_COLOR
+        self.mean = MEAN
+        self.std = STD
+
+        self.images: List[str] = []
+        self.masks: List[str] = []
+        for s in splits:
+            imgs = list_images(os.path.join(root, s))
+            self.images += imgs
+            self.masks += [p.replace(s, s + "_labels").replace(".", "_L.")
+                           for p in imgs]
+        for ip, mp in zip(self.images, self.masks):
+            assert os.path.isfile(ip), f'Image file is missing: "{ip}"'
+            assert os.path.isfile(mp), f'Label file is missing: "{mp}"'
+        assert self.images, f'Failed to find any images in "{root}"'
+
+    def convert_label(self, label):
+        """RGB mask -> class-index mask; unmatched colors -> 255."""
+        rgb = np.array(label)
+        idx = np.full(rgb.shape[:2], 255, dtype=np.uint8)
+        for i, color in enumerate(self.color_map):
+            idx[np.all(rgb == color, axis=2)] = i
+        return Image.fromarray(idx, mode="P")
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, index):
+        img = Image.open(self.images[index]).convert("RGB")
+        target = self.convert_label(Image.open(self.masks[index]))
+        if self.transforms is not None:
+            img, target = self.transforms(img, target)
+        return img, np.array(target).astype(np.int32)

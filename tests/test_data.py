@@ -1,0 +1,144 @@
+"""Data layer: paired transforms, datasets on synthetic trees, loader."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from hyperseg_tpu.data import seg_transforms as T
+from hyperseg_tpu.data.loader import DataLoader, RandomSampler
+
+
+def make_pair(w=64, h=48):
+    rng = np.random.RandomState(0)
+    img = Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8))
+    lbl = Image.fromarray(rng.randint(0, 19, (h, w), np.uint8), mode="P")
+    return img, lbl
+
+
+def test_compose_routes_pair_vs_image_only():
+    img, lbl = make_pair()
+    calls = {"img_only": 0}
+
+    def img_only(x):
+        calls["img_only"] += 1
+        return x
+
+    tf = T.Compose([T.Resize((24, 32)), img_only, T.ToArray(),
+                    T.Normalize()])
+    out_img, out_lbl = tf(img, lbl)
+    assert calls["img_only"] == 1
+    assert out_img.shape == (24, 32, 3)
+    assert out_lbl.shape == (24, 32) and out_lbl.dtype == np.int32
+
+
+def test_larger_edge_resize_aspect():
+    img, lbl = make_pair(100, 50)
+    out = T.larger_edge_resize(img, 64)
+    assert out.size == (64, 32)
+    out2 = T.larger_edge_resize(img, (20, 40))
+    assert out2.size == (40, 20)
+
+
+def test_constant_pad_right_bottom_with_lbl_fill():
+    img, lbl = make_pair(30, 20)
+    tf = T.ConstantPad((48, 32), fill=0, lbl_fill=255)
+    pi, pl = tf(img, lbl)
+    assert pi.size == (48, 32) and pl.size == (48, 32)
+    a = np.array(pl)
+    assert (a[:, 30:] == 255).all() and (a[20:, :] == 255).all()
+    # original content untouched at top-left
+    assert (a[:20, :30] == np.array(lbl)).all()
+
+
+def test_random_crop_pads_if_needed():
+    img, lbl = make_pair(20, 10)
+    tf = T.RandomCrop([32, 40], pad_if_needed=True, lbl_fill=255)
+    ci, cl = tf(img, lbl)
+    assert ci.size == (40, 32) and cl.size == (40, 32)
+    assert (np.array(cl) == 255).any()
+
+
+def test_random_flip_pairs_consistent():
+    img, lbl = make_pair()
+    tf = T.RandomHorizontalFlip(p=1.0)
+    fi, fl = tf(img, lbl)
+    assert np.array_equal(np.array(fi), np.array(img)[:, ::-1])
+    assert np.array_equal(np.array(fl), np.array(lbl)[:, ::-1])
+
+
+def test_pyramids():
+    img, _ = make_pair(64, 64)
+    pyd = T.UpDownPyramids(2, 1)(img)
+    assert [p.size for p in pyd] == [(64, 64), (32, 32), (128, 128)]
+
+
+def make_camvid_tree(tmp_path):
+    rng = np.random.RandomState(1)
+    from hyperseg_tpu.data.camvid import CLASS_COLOR
+    for split in ["train", "test"]:
+        os.makedirs(tmp_path / split, exist_ok=True)
+        os.makedirs(tmp_path / f"{split}_labels", exist_ok=True)
+        for i in range(3):
+            img = rng.randint(0, 255, (32, 48, 3), np.uint8)
+            Image.fromarray(img).save(tmp_path / split / f"f{i}.png")
+            lab = np.zeros((32, 48, 3), np.uint8)
+            lab[:16] = CLASS_COLOR[0]
+            lab[16:] = CLASS_COLOR[3]
+            lab[0, 0] = (7, 7, 7)  # unknown color -> 255
+            Image.fromarray(lab).save(tmp_path / f"{split}_labels" / f"f{i}_L.png")
+
+
+def test_camvid_dataset(tmp_path):
+    from hyperseg_tpu.data.camvid import CamVidDataset
+    make_camvid_tree(tmp_path)
+    ds = CamVidDataset(str(tmp_path), "train",
+                       transforms=T.Compose([T.ToArray()]))
+    assert len(ds) == 3
+    img, lbl = ds[0]
+    assert img.shape == (32, 48, 3) and img.dtype == np.float32
+    assert lbl[0, 0] == 255 and lbl[1, 0] == 0 and lbl[20, 0] == 3
+
+
+def make_cityscapes_tree(tmp_path):
+    rng = np.random.RandomState(2)
+    for city in ["cityA"]:
+        img_dir = tmp_path / "leftImg8bit" / "val" / city
+        tgt_dir = tmp_path / "gtFine" / "val" / city
+        os.makedirs(img_dir), os.makedirs(tgt_dir)
+        for i in range(2):
+            Image.fromarray(rng.randint(0, 255, (64, 128, 3), np.uint8)).save(
+                img_dir / f"{city}_{i:06d}_leftImg8bit.png")
+            lab = np.zeros((64, 128), np.uint8)
+            lab[:32] = 7   # road -> train id 0
+            lab[32:] = 26  # car -> train id 13
+            lab[0, 0] = 4  # static -> 255
+            Image.fromarray(lab).save(tgt_dir / f"{city}_{i:06d}_gtFine_labelIds.png")
+
+
+def test_cityscapes_dataset(tmp_path):
+    from hyperseg_tpu.data.cityscapes import CityscapesDataset
+    make_cityscapes_tree(tmp_path)
+    ds = CityscapesDataset(str(tmp_path), "val", "fine", "semantic",
+                           transforms=T.Compose([T.ToArray()]))
+    assert len(ds) == 2
+    assert len(ds.classes) == 19
+    img, lbl = ds[0]
+    assert lbl[0, 0] == 255 and lbl[1, 0] == 0 and lbl[40, 0] == 13
+    assert ds.weights.shape == (2,)
+    # histogram cache written
+    assert os.path.isfile(tmp_path / "val.npy")
+
+
+def test_loader_batching(tmp_path):
+    from hyperseg_tpu.data.camvid import CamVidDataset
+    make_camvid_tree(tmp_path)
+    ds = CamVidDataset(str(tmp_path), "train",
+                       transforms=T.Compose([T.ToArray(), T.Normalize()]))
+    loader = DataLoader(ds, batch_size=2, sampler=RandomSampler(ds, 6, seed=0),
+                        drop_last=True, workers=2)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]["image"].shape == (2, 32, 48, 3)
+    assert batches[0]["label"].shape == (2, 32, 48)
