@@ -1,0 +1,160 @@
+"""Evaluation entry point — the equivalent of hyperseg/test.py.
+
+Loads a self-describing checkpoint (native .npz or reference .pth), rebuilds
+the model from its arch string, runs the eval loop (logits bilinearly resized
+to label resolution before argmax, test.py:165-175), accumulates the
+confusion matrix on device plus per-image jaccard scores, caches results in
+<exp_dir>/test/scores.npz (test.py:122-125,176-182), prints
+global/class/IoU metrics, and optionally saves best/worst prediction grids.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hyperseg_tpu.core import checkpoint as C
+from hyperseg_tpu.core import registry
+from hyperseg_tpu.data.loader import DataLoader
+from hyperseg_tpu.data.seg_transforms import Compose
+from hyperseg_tpu.nn import functional as F
+from hyperseg_tpu.train import metrics as M
+from hyperseg_tpu.train.step import make_eval_step
+from hyperseg_tpu.utils.img_utils import blend_seg, denormalize, make_grid
+
+DEFAULT_TENSOR_TRANSFORMS = (
+    "hyperseg_tpu.data.seg_transforms.ToArray()",
+    "hyperseg_tpu.data.seg_transforms.Normalize()",
+)
+
+
+def _build_list(specs):
+    if specs is None:
+        return []
+    return [registry.build(s) if isinstance(s, str) else s for s in specs]
+
+
+def main(exp_dir, *, model=None, arch=None, test_dataset=None,
+         img_transforms=None, tensor_transforms=DEFAULT_TENSOR_TRANSFORMS,
+         batch_size=4, workers=4, forced=False, compute_dtype="float32",
+         display_worst=0, display_best=0, display_alpha=0.5,
+         display_background_index=0, out_dir=None):
+    assert os.path.isdir(exp_dir), f'exp_dir "{exp_dir}" must be a directory'
+    if model is None:
+        for cand in ("model_best.npz", "model_best.pth"):
+            if os.path.isfile(os.path.join(exp_dir, cand)):
+                model = cand
+                break
+        assert model is not None, f"no checkpoint found in {exp_dir}"
+    model_path = model if os.path.isfile(model) else os.path.join(exp_dir, model)
+    assert os.path.isfile(model_path), f'model path "{model_path}" does not exist'
+
+    cache_dir = os.path.join(exp_dir, "test")
+    os.makedirs(cache_dir, exist_ok=True)
+    scores_path = os.path.join(cache_dir, "scores.npz")
+
+    # dataset
+    tf = Compose(_build_list(img_transforms) + _build_list(tensor_transforms))
+    test_ds = registry.build(test_dataset, transforms=tf)
+    loader = DataLoader(test_ds, batch_size=batch_size, workers=workers)
+    num_classes = len(test_ds.classes)
+
+    # model from checkpoint arch
+    model_obj, params, meta = C.load_model(model_path, arch=arch,
+                                           num_classes=num_classes)
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    eval_step = jax.jit(make_eval_step(model_obj, num_classes=num_classes,
+                                       compute_dtype=dtype))
+
+    if forced or not os.path.isfile(scores_path):
+        confmat = jnp.zeros((num_classes, num_classes), jnp.int32)
+        ious = []
+        for i, batch in enumerate(loader):
+            b = {"image": jnp.asarray(batch["image"]),
+                 "label": jnp.asarray(batch["label"], jnp.int32)}
+            out = eval_step(params, b)
+            confmat = confmat + out["confmat"]
+            preds = np.asarray(out["preds"])
+            labels = np.asarray(batch["label"])
+            for j in range(labels.shape[0]):
+                ious.append(M.per_image_jaccard(
+                    labels[j], preds[j], num_classes,
+                    ignore_index=display_background_index))
+        ious = np.array(ious)
+        global_acc, class_acc, class_iou = M.eval_scores_from_confmat(
+            np.asarray(confmat))
+        np.savez(scores_path, ious=ious, global_acc=global_acc,
+                 class_acc=class_acc, class_iou=class_iou)
+    else:
+        z = np.load(scores_path)
+        ious, global_acc = z["ious"], z["global_acc"]
+        class_acc, class_iou = z["class_acc"], z["class_iou"]
+
+    print(f"global_acc={global_acc}")
+    print(f"class_acc={class_acc}")
+    print(f"class_iou={class_iou}")
+    print(f"mIoU={np.mean(class_iou)}")
+
+    # best/worst visualizations, saved as PNG grids (test.py:197-207)
+    if display_worst or display_best:
+        order = np.argsort(ious)
+        out_dir = out_dir or cache_dir
+        subsets = []
+        if display_worst:
+            subsets.append(("worst", order[:display_worst]))
+        if display_best:
+            subsets.append(("best", order[-display_best:]))
+        from PIL import Image
+        for tag, idxs in subsets:
+            rows = []
+            for idx in idxs:
+                img, lbl = test_ds[int(idx)]
+                out = eval_step(params, {
+                    "image": jnp.asarray(img)[None],
+                    "label": jnp.asarray(lbl, jnp.int32)[None]})
+                pred = np.asarray(out["preds"])[0]
+                base = denormalize(np.asarray(img))
+                rows.append(make_grid(
+                    base,
+                    blend_seg(base, pred, test_ds.color_map, display_alpha,
+                              ignore_index=display_background_index),
+                    blend_seg(base, lbl, test_ds.color_map, display_alpha,
+                              ignore_index=255)))
+            grid = np.concatenate(rows, axis=0)
+            path = os.path.join(out_dir, f"{tag}.png")
+            Image.fromarray((grid * 255).astype(np.uint8)).save(path)
+            print(f"saved {tag} predictions grid to {path}")
+
+    return float(np.mean(class_iou))
+
+
+def cli():
+    import argparse
+    p = argparse.ArgumentParser("hyperseg_tpu test")
+    p.add_argument("exp_dir")
+    p.add_argument("-m", "--model", help="checkpoint (.npz or .pth)")
+    p.add_argument("-a", "--arch", help="override arch string")
+    p.add_argument("-td", "--test_dataset", required=True)
+    p.add_argument("-it", "--img_transforms", nargs="+")
+    p.add_argument("-tt", "--tensor_transforms", nargs="+",
+                   default=list(DEFAULT_TENSOR_TRANSFORMS))
+    p.add_argument("-b", "--batch_size", type=int, default=4)
+    p.add_argument("-w", "--workers", type=int, default=4)
+    p.add_argument("-f", "--forced", action="store_true")
+    p.add_argument("-dw", "--display_worst", type=int, default=0)
+    p.add_argument("-db", "--display_best", type=int, default=0)
+    p.add_argument("--compute_dtype", default="float32")
+    a = p.parse_args()
+    main(a.exp_dir, model=a.model, arch=a.arch, test_dataset=a.test_dataset,
+         img_transforms=a.img_transforms, tensor_transforms=a.tensor_transforms,
+         batch_size=a.batch_size, workers=a.workers, forced=a.forced,
+         display_worst=a.display_worst, display_best=a.display_best,
+         compute_dtype=a.compute_dtype)
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,150 @@
+"""Throughput benchmark entry point — the equivalent of hyperseg/test_fps.py.
+
+Runs the eval loop twice (pass 0 = warmup/compile, pass 1 = measured) timing
+host->device upload + forward with a device sync per batch
+(test_fps.py:163-191). Options mirror the reference: `remove_bn` neutralizes
+every BatchNorm to identity before benchmarking (test_fps.py:147,319-327 —
+note this changes the network's outputs; its mIoU is meaningless, reproduced
+as-is), `iterations` limits the number of batches, and results append to
+scores.npz. Accepts a dataset or falls back to synthetic inputs.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hyperseg_tpu.core import checkpoint as C
+from hyperseg_tpu.core import registry
+from hyperseg_tpu.data.loader import DataLoader
+from hyperseg_tpu.data.seg_transforms import Compose
+from hyperseg_tpu.train.step import make_eval_step
+from hyperseg_tpu.train import metrics as M
+
+DEFAULT_TENSOR_TRANSFORMS = (
+    "hyperseg_tpu.data.seg_transforms.ToArray()",
+    "hyperseg_tpu.data.seg_transforms.Normalize()",
+)
+
+
+def remove_bn(params):
+    """Neutralize every BatchNorm to identity (scale 1, bias 0, stats 0/1) —
+    the functional analogue of replacing BN modules with Unit
+    (test_fps.py:319-332)."""
+    out = dict(params)
+    for k in params:
+        if k.endswith(".running_mean"):
+            prefix = k[:-len(".running_mean")]
+            out[f"{prefix}.running_mean"] = jnp.zeros_like(params[k])
+            out[f"{prefix}.running_var"] = jnp.ones_like(params[f"{prefix}.running_var"])
+            if f"{prefix}.weight" in params and params[f"{prefix}.weight"].ndim == 1:
+                out[f"{prefix}.weight"] = jnp.ones_like(params[f"{prefix}.weight"])
+                out[f"{prefix}.bias"] = jnp.zeros_like(params[f"{prefix}.bias"])
+    return out
+
+
+def main(exp_dir, *, model=None, arch=None, test_dataset=None,
+         img_transforms=None, tensor_transforms=DEFAULT_TENSOR_TRANSFORMS,
+         batch_size=1, workers=4, iterations=None, res=(512, 1024),
+         num_classes=19, compute_dtype="bfloat16", with_remove_bn=False):
+    os.makedirs(exp_dir, exist_ok=True)
+
+    # model: from checkpoint if present, else bare arch (test_fps.py:139-144)
+    if model is not None:
+        model_path = model if os.path.isfile(model) else os.path.join(exp_dir, model)
+        model_obj, params, _ = C.load_model(model_path, arch=arch,
+                                            num_classes=num_classes)
+    else:
+        assert arch is not None, "need --model or --arch"
+        spec = registry.parse_spec(arch).with_overrides(num_classes=num_classes)
+        model_obj = spec.build()
+        params = model_obj.init(jax.random.PRNGKey(0))
+    if with_remove_bn:
+        params = remove_bn(params)
+
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    params = jax.tree.map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 and a.ndim >= 2 else a,
+        params)
+    eval_step = jax.jit(make_eval_step(model_obj, num_classes=num_classes,
+                                       compute_dtype=dtype))
+
+    # data: real loader or synthetic batches
+    if test_dataset is not None:
+        tf = Compose([registry.build(t) if isinstance(t, str) else t
+                      for t in (list(img_transforms or []) + list(tensor_transforms))])
+        ds = registry.build(test_dataset, transforms=tf)
+        num_classes = len(ds.classes)
+
+        def batches():
+            loader = DataLoader(ds, batch_size=batch_size, workers=workers,
+                                drop_last=True)
+            for i, b in enumerate(loader):
+                if iterations is not None and i >= iterations:
+                    break
+                yield b
+    else:
+        n = iterations or 50
+        rng = np.random.RandomState(0)
+
+        def batches():
+            for _ in range(n):
+                yield {"image": rng.rand(batch_size, *res, 3).astype(np.float32),
+                       "label": rng.randint(0, num_classes,
+                                            (batch_size, *res)).astype(np.int32)}
+
+    confmat = jnp.zeros((num_classes, num_classes), jnp.int32)
+    total_time, total_imgs, n_batches = 0.0, 0, 0
+    for p in range(2):  # pass 0 = warmup, pass 1 = measured (test_fps.py:163)
+        for batch in batches():
+            t0 = time.perf_counter()
+            b = {"image": jnp.asarray(batch["image"], dtype),
+                 "label": jnp.asarray(batch["label"], jnp.int32)}
+            out = eval_step(params, b)
+            jax.block_until_ready(out["confmat"])
+            dt = time.perf_counter() - t0
+            if p == 1:
+                total_time += dt
+                total_imgs += b["image"].shape[0]
+                n_batches += 1
+                confmat = confmat + out["confmat"]
+    fps = total_imgs / total_time
+    _, _, class_iou = M.eval_scores_from_confmat(np.asarray(confmat))
+    print(f"fps={fps:.2f} img/s over {n_batches} batches "
+          f"(batch={batch_size}, dtype={compute_dtype})")
+
+    cache_dir = os.path.join(exp_dir, "test_fps")
+    os.makedirs(cache_dir, exist_ok=True)
+    np.savez(os.path.join(cache_dir, "scores.npz"), fps=fps,
+             class_iou=class_iou)
+    return fps
+
+
+def cli():
+    import argparse
+    p = argparse.ArgumentParser("hyperseg_tpu test_fps")
+    p.add_argument("exp_dir")
+    p.add_argument("-m", "--model")
+    p.add_argument("-a", "--arch")
+    p.add_argument("-td", "--test_dataset")
+    p.add_argument("-it", "--img_transforms", nargs="+")
+    p.add_argument("-b", "--batch_size", type=int, default=1)
+    p.add_argument("-i", "--iterations", type=int)
+    p.add_argument("-r", "--res", type=int, nargs=2, default=(512, 1024))
+    p.add_argument("-nc", "--num_classes", type=int, default=19)
+    p.add_argument("--remove_bn", action="store_true")
+    p.add_argument("--compute_dtype", default="bfloat16")
+    a = p.parse_args()
+    main(a.exp_dir, model=a.model, arch=a.arch, test_dataset=a.test_dataset,
+         img_transforms=a.img_transforms, batch_size=a.batch_size,
+         iterations=a.iterations, res=tuple(a.res), num_classes=a.num_classes,
+         with_remove_bn=a.remove_bn, compute_dtype=a.compute_dtype)
+
+
+if __name__ == "__main__":
+    cli()

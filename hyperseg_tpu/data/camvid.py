@@ -53,8 +53,13 @@ class CamVidDataset(SegDataset):
         for s in splits:
             imgs = list_images(os.path.join(root, s))
             self.images += imgs
-            self.masks += [p.replace(s, s + "_labels").replace(".", "_L.")
-                           for p in imgs]
+            # mask path convention: <split>/ -> <split>_labels/, name.ext ->
+            # name_L.ext (camvid.py:85); applied to the root-relative part so
+            # occurrences of the split name in the root path are untouched
+            for p in imgs:
+                rel = os.path.relpath(p, root)
+                rel = rel.replace(s, s + "_labels", 1).replace(".", "_L.", 1)
+                self.masks.append(os.path.join(root, rel))
         for ip, mp in zip(self.images, self.masks):
             assert os.path.isfile(ip), f'Image file is missing: "{ip}"'
             assert os.path.isfile(mp), f'Label file is missing: "{mp}"'

@@ -98,7 +98,9 @@ class WeightMapperV1:
         for i in range(self.levels - 2, -1, -1):
             x = jnp.concatenate([skips.pop(-1), x], axis=-1)
             x = _conv_bn_relu(params, f"{p}.up_blocks.{i}", x, ctx)
-            x = F.upsample_nearest(x, (x.shape[1] * 2, x.shape[2] * 2))
+            # x2 nearest upsample, targeted at the next skip's size so odd
+            # stride-32 maps round-trip (equivalent when sizes are even)
+            x = F.upsample_nearest(x, (skips[-1].shape[1], skips[-1].shape[2]))
 
         return jnp.concatenate([skips.pop(-1), x], axis=-1)
 

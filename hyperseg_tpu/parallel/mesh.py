@@ -28,6 +28,15 @@ def make_mesh(n_data: Optional[int] = None, n_spatial: int = 1,
     return Mesh(devices, ("data", "spatial"))
 
 
+def make_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
+    """Data-parallel mesh using the largest device count dividing batch_size."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(n_data=n, devices=devices[:n])
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

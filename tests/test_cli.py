@@ -1,0 +1,71 @@
+"""End-to-end CLI integration: tiny train run -> checkpoint -> eval -> fps."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from hyperseg_tpu.core import registry
+
+
+TINY_ARCH = ("hyperseg_tpu.models.hyperseg_v1_0.hyperseg_efficientnet("
+             "'efficientnet-b0', levels=2, kernel_sizes=[1, 3], "
+             "level_channels=[16, 16], expand_ratio=2, weight_groups=[8, 8])")
+
+
+def make_camvid(tmp_path, n=4, size=(64, 96)):
+    from hyperseg_tpu.data.camvid import CLASS_COLOR
+    rng = np.random.RandomState(0)
+    for split in ["train", "val"]:
+        os.makedirs(tmp_path / split, exist_ok=True)
+        os.makedirs(tmp_path / f"{split}_labels", exist_ok=True)
+        for i in range(n):
+            img = rng.randint(0, 255, (*size, 3), np.uint8)
+            Image.fromarray(img).save(tmp_path / split / f"f{i}.png")
+            lab = np.zeros((*size, 3), np.uint8)
+            lab[: size[0] // 2] = CLASS_COLOR[0]
+            lab[size[0] // 2:] = CLASS_COLOR[3]
+            Image.fromarray(lab).save(tmp_path / f"{split}_labels" / f"f{i}_L.png")
+
+
+@pytest.mark.slow
+def test_train_eval_fps_roundtrip(tmp_path):
+    from hyperseg_tpu.cli import train as train_cli
+    from hyperseg_tpu.cli import test as test_cli
+    from hyperseg_tpu.cli import test_fps as fps_cli
+
+    data_dir = tmp_path / "camvid"
+    exp_dir = tmp_path / "exp"
+    os.makedirs(exp_dir)
+    make_camvid(data_dir)
+
+    ds_spec = f"hyperseg_tpu.data.camvid.CamVidDataset({str(data_dir)!r}, 'train')"
+    val_spec = f"hyperseg_tpu.data.camvid.CamVidDataset({str(data_dir)!r}, 'val')"
+
+    best = train_cli.main(
+        str(exp_dir), model=TINY_ARCH, train_dataset=ds_spec,
+        val_dataset=val_spec, epochs=2, train_iterations=4, batch_size=2,
+        workers=2, optimizer={"lr": 1e-3}, log_every=1)
+    assert os.path.isfile(exp_dir / "model_latest.npz")
+    assert os.path.isfile(exp_dir / "model_best.npz")
+    assert 0.0 <= best <= 1.0
+
+    # resume should pick up at epoch 2 and do nothing more
+    train_cli.main(str(exp_dir), model=TINY_ARCH, train_dataset=ds_spec,
+                   epochs=2, train_iterations=4, batch_size=2, workers=2)
+
+    miou = test_cli.main(str(exp_dir), test_dataset=val_spec, batch_size=2,
+                         forced=True, display_worst=1)
+    assert os.path.isfile(exp_dir / "test" / "scores.npz")
+    assert os.path.isfile(exp_dir / "test" / "worst.png")
+    assert 0.0 <= miou <= 1.0
+    # cached rerun takes the fast path
+    miou2 = test_cli.main(str(exp_dir), test_dataset=val_spec, batch_size=2)
+    assert miou2 == pytest.approx(miou)
+
+    fps = fps_cli.main(str(exp_dir), model="model_best.npz",
+                       test_dataset=val_spec, batch_size=2,
+                       compute_dtype="float32", num_classes=12)
+    assert fps > 0
+    assert os.path.isfile(exp_dir / "test_fps" / "scores.npz")
