@@ -2,9 +2,14 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: 36.9 FPS on a GTX 1080Ti (reference README.md:28,33), Cityscapes
-1024x512. Methodology mirrors test_fps.py (warmup pass then timed pass with
-device sync, test_fps.py:163-191) but keeps BatchNorm (XLA folds it) and uses
-bfloat16 compute on the MXU.
+1024x512.
+
+Methodology: the forward runs inside an on-device lax.fori_loop (input
+perturbed per iteration to prevent loop-invariant hoisting) with a single
+scalar readback — this measures pure device throughput. Naive async-dispatch
+timing is invalid on this tunneled platform (block_until_ready returns before
+device completion), and per-call readbacks would bill one network RTT per
+batch.
 """
 
 import json
@@ -14,8 +19,25 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 BASELINE_FPS = 36.9
+
+
+def device_loop_fps(model, params, batch, res=(512, 1024), iters=20, dtype=jnp.bfloat16):
+    @jax.jit
+    def loop(p, x):
+        def body(i, acc):
+            xi = x + i.astype(x.dtype) * jnp.asarray(1e-6, x.dtype)
+            return acc + model(p, xi).sum().astype(jnp.float32)
+        return lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    x = jnp.asarray(np.random.rand(batch, *res, 3), dtype)
+    float(loop(params, x))  # compile + warm
+    t0 = time.perf_counter()
+    float(loop(params, x))
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
 
 
 def main():
@@ -23,32 +45,14 @@ def main():
     from __graft_entry__ import HYPERSEG_M_KW
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
     model = V1.hyperseg_efficientnet("efficientnet-b1", **HYPERSEG_M_KW)
     params = model.init(jax.random.PRNGKey(0))
     params = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
                           if a.dtype == jnp.float32 and a.ndim >= 2 else a, params)
 
-    @jax.jit
-    def forward(params, x):
-        return model(params, x)
-
-    x = jnp.asarray(np.random.rand(batch, 512, 1024, 3), jnp.bfloat16)
-
-    # compile + warmup
-    out = forward(params, x)
-    jax.block_until_ready(out)
-    for _ in range(5):
-        jax.block_until_ready(forward(params, x))
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(params, x)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-
-    fps = batch * iters / dt
+    fps = device_loop_fps(model, params, batch, iters=iters)
     print(json.dumps({
         "metric": "hyperseg_m_cityscapes_1024x512_fps",
         "value": round(fps, 2),

@@ -1,0 +1,24 @@
+"""HyperSeg-M Cityscapes val eval — evaluation config (mirrors the reference test config)."""
+
+import os
+import sys
+
+from hyperseg_tpu.cli.test import main
+from hyperseg_tpu.core.registry import Spec
+
+if __name__ == "__main__":
+    exp_name = os.path.splitext(os.path.basename(__file__))[0]
+    exp_dir = os.path.join("tests_out", exp_name)
+    # native .npz checkpoint or a reference .pth (converted on load)
+    model = os.path.join("weights", exp_name + ".npz")
+    if not os.path.isfile(model):
+        model = os.path.join("weights", exp_name + ".pth")
+    data_dir = sys.argv[1] if len(sys.argv) > 1 else "data/cityscapes"
+
+    test_dataset = Spec("hyperseg_tpu.data.cityscapes.CityscapesDataset", (data_dir, "val", "fine", "semantic"))
+    img_transforms = [Spec("hyperseg_tpu.data.seg_transforms.Resize", ([512, 1024],))]
+    
+
+    os.makedirs(exp_dir, exist_ok=True)
+    main(exp_dir, model=model, test_dataset=test_dataset,
+         img_transforms=img_transforms, forced=True)
