@@ -24,7 +24,7 @@ from jax import lax
 BASELINE_FPS = 36.9
 
 
-def device_loop_fps(model, params, batch, res=(512, 1024), iters=20, dtype=jnp.bfloat16):
+def device_loop_fps(model, params, batch, res=(512, 1024), iters=100, dtype=jnp.bfloat16):
     @jax.jit
     def loop(p, x):
         def body(i, acc):
@@ -45,7 +45,7 @@ def main():
     from __graft_entry__ import HYPERSEG_M_KW
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 100
 
     model = V1.hyperseg_efficientnet("efficientnet-b1", **HYPERSEG_M_KW)
     params = model.init(jax.random.PRNGKey(0))

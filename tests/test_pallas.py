@@ -1,0 +1,52 @@
+"""Pallas kernels vs the lax oracle (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hyperseg_tpu.ops import patch as P
+from hyperseg_tpu.ops.pallas.patch_invres import patch_inverted_residual_fused
+from hyperseg_tpu.nn import functional as F
+
+
+@pytest.mark.parametrize("b,fh,fw,ph,pw,cin,hidden,out", [
+    (2, 4, 4, 8, 8, 24, 48, 16),
+    (1, 2, 3, 16, 16, 34, 68, 19),
+    (1, 2, 2, 8, 8, 16, 32, 16),   # residual path (cin == out)
+])
+def test_invres_fused_matches_oracle(b, fh, fw, ph, pw, cin, hidden, out):
+    rng = np.random.RandomState(0)
+    H, W = fh * ph, fw * pw
+    x = jnp.asarray(rng.randn(b, H, W, cin), jnp.float32)
+    P_total = cin * hidden + hidden * 9 + hidden * out
+    w = jnp.asarray(rng.randn(b, fh, fw, P_total) * 0.1, jnp.float32)
+    bns = []
+    for c in (hidden, hidden, out):
+        bns.append((jnp.asarray(rng.rand(c) + 0.5, jnp.float32),
+                    jnp.asarray(rng.randn(c) * 0.1, jnp.float32),
+                    jnp.asarray(rng.randn(c) * 0.1, jnp.float32),
+                    jnp.asarray(rng.rand(c) + 0.5, jnp.float32)))
+
+    # oracle: lax patch ops, exactly as InvResUnit.apply
+    xp = P.extract_patches_with_halo(x, fh, fw, (1, 1), mode="reflect")
+    r1, r2 = cin * hidden, cin * hidden + hidden * 9
+    h = P.patch_pointwise(xp, w[..., :r1], hidden)
+    h = jnp.clip(F.batch_norm(h, *bns[0]), 0, 6)
+    h = P.patch_depthwise_valid(h, w[..., r1:r2], (3, 3))
+    h = jnp.clip(F.batch_norm(h, *bns[1]), 0, 6)
+    h = P.patch_pointwise(h, w[..., r2:], out)
+    h = F.batch_norm(h, *bns[2])
+    want = P.unblock_patches(h)
+    if cin == out:
+        want = want + x
+
+    got = patch_inverted_residual_fused(
+        x, w, hidden=hidden, out_ch=out, kernel=3,
+        bn1=bns[0], bn2=bns[1], bn3=bns[2], interpret=True)
+    # kernel computes matmuls in bf16 inputs/fp32 accum; tolerance accordingly
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=0.05, rtol=0.05)
+    # agreement in structure: correlation ~ 1
+    g, w_ = np.asarray(got).ravel(), np.asarray(want).ravel()
+    assert np.corrcoef(g, w_)[0, 1] > 0.999
