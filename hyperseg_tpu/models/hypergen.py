@@ -91,3 +91,33 @@ class HyperGen:
             else:
                 out = jnp.maximum(out, p)
         return out
+
+
+def smoke_main(default_model: str):
+    """Module smoke harness: build from a spec string, run a random-input
+    forward, print the output shape (the reference's per-module __main__
+    convention, e.g. hyperseg_v1_0.py:830-865)."""
+    import argparse
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from hyperseg_tpu.core import registry
+
+    p = argparse.ArgumentParser("hyperseg_tpu model smoke test")
+    p.add_argument("-m", "--model", default=default_model, help="model spec")
+    p.add_argument("-r", "--res", default=(512,), type=int, nargs="+")
+    p.add_argument("-p", "--pyramids", type=int)
+    p.add_argument("-b", "--batch", default=1, type=int)
+    a = p.parse_args()
+    res = tuple(a.res) * 2 if len(a.res) == 1 else tuple(a.res)
+
+    model = registry.build(a.model)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.rand(a.batch, *res, 3), jnp.float32)
+    if a.pyramids:
+        from hyperseg_tpu.utils.img_utils import create_pyramid
+        pyd = [jnp.asarray(t) for t in create_pyramid(np.asarray(x), a.pyramids)]
+        out = model.forward_pyramid(params, pyd)
+    else:
+        out = jax.jit(lambda p, x: model(p, x))(params, x)
+    print(out.shape)

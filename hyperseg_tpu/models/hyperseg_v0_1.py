@@ -49,3 +49,8 @@ def hyperseg_efficientnet(model_name, pretrained=False, levels=3,
         from hyperseg_tpu.core import checkpoint as ckpt
         model._pretrained_params, _ = ckpt.load_params(weights_path)
     return model
+
+
+if __name__ == "__main__":
+    from hyperseg_tpu.models.hypergen import smoke_main
+    smoke_main("hyperseg_tpu.models.hyperseg_v0_1.hyperseg_efficientnet('efficientnet-b3', levels=3, kernel_sizes=(1,1,3,3,3,3), expand_ratio=2, weight_groups=16, num_classes=21)")

@@ -43,3 +43,8 @@ def hyperseg_efficientnet(model_name, pretrained=False, out_feat_scale=0.25,
         from hyperseg_tpu.core import checkpoint as ckpt
         model._pretrained_params, _ = ckpt.load_params(weights_path)
     return model
+
+
+if __name__ == "__main__":
+    from hyperseg_tpu.models.hypergen import smoke_main
+    smoke_main("hyperseg_tpu.models.hyperseg_v1_0_unify.hyperseg_efficientnet('efficientnet-b1', levels=2, kernel_sizes=[1,1,1,3,3], level_channels=[32,16,8,8,8], expand_ratio=2, weight_groups=[32,16,8,16,4], unify_level=4, num_classes=19)")

@@ -143,3 +143,37 @@ def wall_clock(fn, *args, iters=20, warmup=3):
 def trace(log_dir: str):
     """Context manager around jax.profiler.trace for TensorBoard traces."""
     return jax.profiler.trace(log_dir)
+
+
+def cli():
+    """Profiler CLI — the profile.py / meta_profile.py entry point: prints the
+    per-module params / generated-params / MACs table and the XLA compiled
+    cost for a model spec."""
+    import argparse
+    import jax
+    import jax.numpy as jnp
+    from hyperseg_tpu.core import registry
+
+    p = argparse.ArgumentParser("hyperseg_tpu profiler")
+    p.add_argument("-m", "--model", required=True, help="model spec string")
+    p.add_argument("-r", "--res", default=(512, 1024), type=int, nargs=2)
+    p.add_argument("-b", "--batch", default=1, type=int)
+    p.add_argument("--xla", action="store_true", help="also compile and print XLA cost")
+    a = p.parse_args()
+
+    model = registry.build(a.model)
+    rows, total = model_profile(model, tuple(a.res))
+    params = model.init(jax.random.PRNGKey(0))
+    from hyperseg_tpu.utils.profile import count_params
+    tot, trn = count_params(params)
+    print(f"parameters: {tot:,} total / {trn:,} trainable; "
+          f"generated per patch: {total.hyper_params:,}")
+    if a.xla:
+        x = jnp.zeros((a.batch, *a.res, 3), jnp.float32)
+        cost = xla_cost(lambda p_, x_: model(p_, x_), params, x)
+        flops = cost.get("flops")
+        print(f"XLA: flops={flops:,.0f} bytes={cost.get('bytes accessed', 0):,.0f}")
+
+
+if __name__ == "__main__":
+    cli()
