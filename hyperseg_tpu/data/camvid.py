@@ -66,11 +66,12 @@ class CamVidDataset(SegDataset):
         assert self.images, f'Failed to find any images in "{root}"'
 
     def convert_label(self, label):
-        """RGB mask -> class-index mask; unmatched colors -> 255."""
-        rgb = np.array(label)
-        idx = np.full(rgb.shape[:2], 255, dtype=np.uint8)
-        for i, color in enumerate(self.color_map):
-            idx[np.all(rgb == color, axis=2)] = i
+        """RGB mask -> class-index mask; unmatched colors -> 255 (single-pass
+        native kernel with numpy fallback, hyperseg_tpu/native)."""
+        from hyperseg_tpu import native
+        idx = native.rgb_label_to_index(np.array(label),
+                                        np.asarray(self.color_map, np.uint8),
+                                        fill=255)
         return Image.fromarray(idx, mode="P")
 
     def __len__(self):

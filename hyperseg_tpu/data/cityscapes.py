@@ -165,9 +165,10 @@ class CityscapesDataset(SegDataset):
         for i, t in enumerate(self.target_type):
             target = Image.open(self.targets[index][i])
             if self.use_train_labels and t == "semantic":
-                a = np.array(target)
-                a[(a < 0) | (a >= len(ID_TO_TRAIN_ID))] = 0
-                target = Image.fromarray(ID_TO_TRAIN_ID[a], mode="P")
+                from hyperseg_tpu import native
+                a = native.map_labels(np.array(target), ID_TO_TRAIN_ID,
+                                      fill=ID_TO_TRAIN_ID[0])
+                target = Image.fromarray(a, mode="P")
             targets.append(target)
         target = targets[0] if len(targets) == 1 else tuple(targets)
         if self.transforms is not None:

@@ -120,6 +120,24 @@ class ToArray(SegTransform):
 ToTensor = ToArray
 
 
+class ToNormalizedArray(SegTransform):
+    """Fused ToArray + Normalize in one native pass over the uint8 image
+    (hyperseg_tpu/native.normalize_u8): PIL pair -> (normalized float32 HWC,
+    int32 HW). Drop-in replacement for [ToArray(), Normalize(mean, std)]."""
+
+    def __init__(self, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, img, lbl):
+        from hyperseg_tpu import native
+
+        def conv(im):
+            return native.normalize_u8(np.asarray(im, np.uint8), self.mean,
+                                       self.std)
+        return call_recursive(conv, img), np.asarray(lbl).astype(np.int32)
+
+
 class Normalize:
     """Channel normalization on HWC float arrays; default 0.5/0.5
     (seg_transforms.py:88-114)."""
