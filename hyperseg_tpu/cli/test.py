@@ -70,13 +70,30 @@ def main(exp_dir, *, model=None, arch=None, test_dataset=None,
     eval_step = jax.jit(make_eval_step(model_obj, num_classes=num_classes,
                                        compute_dtype=dtype))
 
+    @jax.jit
+    def eval_step_pyramid(params, batch):
+        # pyramid TTA: Pyramids/UpDownPyramids transforms yield list inputs
+        # routed through forward_pyramid (HyperGen.forward list path)
+        logits = model_obj.forward_pyramid(
+            params, [p.astype(dtype) for p in batch["image"]])
+        label = batch["label"]
+        logits = F.resize_bilinear(logits, label.shape[1:3])
+        preds = jnp.argmax(logits, axis=-1)
+        confmat = M.confusion_matrix(label, preds, num_classes, ignore_index=255)
+        return {"confmat": confmat, "preds": preds}
+
     if forced or not os.path.isfile(scores_path):
         confmat = jnp.zeros((num_classes, num_classes), jnp.int32)
         ious = []
         for i, batch in enumerate(loader):
-            b = {"image": jnp.asarray(batch["image"]),
-                 "label": jnp.asarray(batch["label"], jnp.int32)}
-            out = eval_step(params, b)
+            if isinstance(batch["image"], (list, tuple)):
+                b = {"image": [jnp.asarray(p) for p in batch["image"]],
+                     "label": jnp.asarray(batch["label"], jnp.int32)}
+                out = eval_step_pyramid(params, b)
+            else:
+                b = {"image": jnp.asarray(batch["image"]),
+                     "label": jnp.asarray(batch["label"], jnp.int32)}
+                out = eval_step(params, b)
             confmat = confmat + out["confmat"]
             preds = np.asarray(out["preds"])
             labels = np.asarray(batch["label"])

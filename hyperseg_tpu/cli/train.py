@@ -129,7 +129,15 @@ def main(exp_dir, *, model, train_dataset, val_dataset=None,
         state["params"] = replicate_params(mesh, loaded)
         start_epoch = int(meta.get("epoch", 0))
         best_iou = float(meta.get("best_iou", 0.0))
-        state["step"] = jnp.asarray(start_epoch * steps_per_epoch, jnp.int32)
+        state["step"] = jnp.asarray(
+            int(meta.get("step", start_epoch * steps_per_epoch)), jnp.int32)
+        opt_path = ckpt_path[:-4] + ".opt"
+        if os.path.isfile(opt_path):
+            import pickle
+            with open(opt_path, "rb") as f:
+                loaded_opt = pickle.load(f)
+            state["opt_state"] = jax.tree.map(
+                lambda ref, v: jnp.asarray(v), state["opt_state"], loaded_opt)
 
     def process_epoch(loader, train: bool, epoch: int):
         nonlocal state
@@ -157,6 +165,17 @@ def main(exp_dir, *, model, train_dataset, val_dataset=None,
             else:
                 out = eval_step(state["params"], batch)
                 confmat = confmat + out["confmat"]
+                if i == 0 and hasattr(train_ds, "color_map"):
+                    from hyperseg_tpu.utils.img_utils import (blend_seg,
+                                                              denormalize,
+                                                              make_grid)
+                    img = denormalize(np.asarray(batch["image"][0]))
+                    pred = np.asarray(out["preds"][0])
+                    lbl = np.asarray(batch["label"][0])
+                    grid = make_grid(
+                        img, blend_seg(img, pred, train_ds.color_map),
+                        blend_seg(img, lbl, train_ds.color_map))
+                    logger.log_image("val/pred", grid, epoch)
         scores = M.scores_from_confmat(confmat)
         return (loss_sum / max(steps, 1)), scores["mean_iou"]
 
@@ -171,8 +190,8 @@ def main(exp_dir, *, model, train_dataset, val_dataset=None,
               f"({time.time() - t0:.1f}s)")
         C.save_checkpoint(exp_dir, "model", C.jnp_to_np(state["params"]),
                           meta={"epoch": epoch + 1, "best_iou": best_iou,
-                                "arch": arch},
-                          is_best=is_best)
+                                "arch": arch, "step": int(state["step"])},
+                          opt_state=state["opt_state"], is_best=is_best)
     return best_iou
 
 

@@ -148,7 +148,11 @@ def batch_norm_train(x, scale, bias, mean, var, *, eps=1e-5, momentum=0.1,
         reduce_axes = tuple(range(x.ndim - 1))
     x32 = x.astype(jnp.float32)
     batch_mean = jnp.mean(x32, axis=reduce_axes)
-    batch_var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(batch_mean)
+    # centered (two-pass) variance: the E[x^2] - E[x]^2 form cancels
+    # catastrophically in fp32 for large activations and can go negative,
+    # NaN-ing the rsqrt mid-training
+    centered = x32 - jnp.expand_dims(batch_mean, reduce_axes)
+    batch_var = jnp.maximum(jnp.mean(jnp.square(centered), axis=reduce_axes), 0.0)
     n = np.prod([x.shape[a] for a in reduce_axes])
     unbiased = batch_var * (n / max(n - 1, 1))
     new_mean = (1 - momentum) * mean.astype(jnp.float32) + momentum * batch_mean
