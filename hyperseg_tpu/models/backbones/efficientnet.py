@@ -129,7 +129,7 @@ class EfficientNet:
 
     def __init__(self, model_name: str, *, out_feat_scale=0.25, in_channels=3,
                  num_classes=1000, head=None, pool=False, return_features=True,
-                 drop_connect_rate=0.2, dropout_rate=None):
+                 drop_connect_rate=0.2, dropout_rate=None, remat=False):
         m = re.fullmatch(r"efficientnet-([bcsl])(\d)", model_name)
         if not m:
             raise ValueError(f"unknown efficientnet variant {model_name!r}")
@@ -147,6 +147,7 @@ class EfficientNet:
         self.return_features = return_features
         self.drop_connect_rate = drop_connect_rate
         self.dropout_rate = default_dropout if dropout_rate is None else dropout_rate
+        self.remat = remat  # jax.checkpoint each block during training
 
         size = [nominal, nominal]
         self.stem_ch = round_filters(32, width)
@@ -307,8 +308,21 @@ class EfficientNet:
         rngs = jax.random.split(rng, n) if (train and rng is not None) else [None] * n
         for i, bp in enumerate(self.blocks):
             drop_rate = self.drop_connect_rate * i / n if self.drop_connect_rate else 0.0
-            x = self._block(params, f"_blocks.{i}", bp, x, ctx,
-                            drop_rate=drop_rate, rng=rngs[i])
+            if train and self.remat:
+                # remat-safe: the block runs in its own Ctx so BN-state
+                # updates flow through the checkpointed function as outputs
+                def block_fn(p_, x_, r_, bp_=bp, i_=i, dr_=drop_rate):
+                    bctx = F.Ctx(train=True, rng=None)
+                    y_ = self._block(p_, f"_blocks.{i_}", bp_, x_, bctx,
+                                     drop_rate=dr_, rng=r_)
+                    return y_, bctx.updates
+                r_i = rngs[i] if rngs[i] is not None else jax.random.PRNGKey(0)
+                x, upd = jax.checkpoint(block_fn)(params, x, r_i)
+                if ctx is not None:
+                    ctx.updates.update(upd)
+            else:
+                x = self._block(params, f"_blocks.{i}", bp, x, ctx,
+                                drop_rate=drop_rate, rng=rngs[i])
             if bp.is_feat:
                 fc = self.feat_fc[len(feats)] if self.out_feat_scale is not None else None
                 if fc is None:

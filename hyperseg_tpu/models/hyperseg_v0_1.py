@@ -35,13 +35,14 @@ def build_hypergen(backbone: EfficientNet, *, num_classes=3, kernel_sizes=3,
 
 def hyperseg_efficientnet(model_name, pretrained=False, levels=3,
                           down_groups=1, flat_groups=1, weight_groups=1,
-                          avg_pool=True, weights_path=None, **kwargs) -> HyperGen:
+                          avg_pool=True, weights_path=None,
+                          backbone_remat=False, **kwargs) -> HyperGen:
     """Factory mirroring hyperseg_v0_1.hyperseg_efficientnet (:409-424).
 
     Note the reference passes no out_feat_scale here, so the backbone's
     default 0.25 compression applies (efficientnet_utils.py:508-510)."""
     backbone = EfficientNet(model_name, out_feat_scale=0.25, head=None,
-                            return_features=True)
+                            return_features=True, remat=backbone_remat)
     model = build_hypergen(backbone, wm_levels=levels, down_groups=down_groups,
                            flat_groups=flat_groups, weight_groups=weight_groups,
                            avg_pool=avg_pool, **kwargs)

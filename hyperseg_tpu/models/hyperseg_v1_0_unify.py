@@ -34,10 +34,12 @@ def build_hypergen(backbone: EfficientNet, *, num_classes=3, kernel_sizes=3,
 
 
 def hyperseg_efficientnet(model_name, pretrained=False, out_feat_scale=0.25,
-                          levels=3, weights_path=None, **kwargs) -> HyperGen:
+                          levels=3, weights_path=None, backbone_remat=False,
+                          **kwargs) -> HyperGen:
     """Factory mirroring hyperseg_v1_0_unify.hyperseg_efficientnet."""
     backbone = EfficientNet(model_name, out_feat_scale=out_feat_scale,
-                            head=None, return_features=True)
+                            head=None, return_features=True,
+                            remat=backbone_remat)
     model = build_hypergen(backbone, wm_levels=levels, **kwargs)
     if weights_path is not None:
         from hyperseg_tpu.core import checkpoint as ckpt
