@@ -11,7 +11,6 @@ global/class/IoU metrics, and optionally saves best/worst prediction grids.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
 
 import numpy as np
 import jax

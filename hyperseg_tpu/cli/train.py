@@ -15,8 +15,6 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
-from typing import Optional, Sequence
 
 import numpy as np
 import jax

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import numbers
 import random
-from typing import Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image, ImageFilter, ImageOps

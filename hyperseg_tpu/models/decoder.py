@@ -21,17 +21,15 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from hyperseg_tpu.nn import functional as F
 from hyperseg_tpu.ops import patch as P
 from hyperseg_tpu.models.signal_split import (
-    divide_feature, divide_feature_legacy_v01, divide_feature_legacy_v02,
-    next_multiply)
+    divide_feature, divide_feature_legacy_v02, next_multiply)
 
 BN_EPS = 1e-5
 BN_MOMENTUM = 0.1
@@ -126,6 +124,17 @@ class InvResUnit:
         return self.ranges[-1]
 
     def apply(self, params, x, w, ctx=None):
+        from hyperseg_tpu.ops import pallas as pallas_cfg
+        if pallas_cfg.ENABLED and (ctx is None or not ctx.train):
+            from hyperseg_tpu.ops.pallas.patch_invres import (
+                patch_inverted_residual_fused)
+            pfx = self.prefix
+            bn = lambda n: tuple(params[f"{pfx}.{n}.{f}"] for f in
+                                 ("weight", "bias", "running_mean", "running_var"))
+            return patch_inverted_residual_fused(
+                x, w, hidden=self.hidden, out_ch=self.out_ch, kernel=self.kernel,
+                bn1=bn("bn1"), bn2=bn("bn2"), bn3=bn("bn3"), eps=BN_EPS,
+                padding_mode=self.padding_mode)
         act = F.ACTIVATIONS[self.act]
         r = self.ranges
         fh, fw = w.shape[1], w.shape[2]

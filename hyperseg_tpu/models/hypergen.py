@@ -13,7 +13,7 @@ inputs bypass TTA entirely (quirk #5) — `__call__` is that plain path.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

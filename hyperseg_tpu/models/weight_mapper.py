@@ -15,7 +15,7 @@ Two generations, matching the reference:
 from __future__ import annotations
 
 import math
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -23,8 +23,6 @@ Behavioral parity targets (reference = YuvalNirkin/hyperseg, PyTorch):
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

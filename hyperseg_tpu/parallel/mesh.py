@@ -11,7 +11,7 @@ over their height (the patch grid is embarrassingly parallel up to halos).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -9,8 +9,6 @@ over images. jit-friendly: the data-dependent branch becomes a mask select
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -10,8 +10,6 @@ reductions ride ICI automatically.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

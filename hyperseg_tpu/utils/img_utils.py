@@ -3,7 +3,7 @@ visualization helpers of utils/seg_utils.py."""
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List
 
 import numpy as np
 

@@ -4,7 +4,6 @@ configs rely on."""
 from __future__ import annotations
 
 import math
-import os
 import random
 from typing import Optional
 

@@ -6,7 +6,6 @@ import numpy as np
 import pytest
 from PIL import Image
 
-from hyperseg_tpu.core import registry
 
 
 TINY_ARCH = ("hyperseg_tpu.models.hyperseg_v1_0.hyperseg_efficientnet("

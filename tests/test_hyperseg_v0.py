@@ -18,7 +18,6 @@ import jax.numpy as jnp
 from hyperseg_tpu.core.torch_import import convert_state_dict
 from hyperseg_tpu.models import hyperseg_v0_1 as M01
 from hyperseg_tpu.models import hyperseg_v0_2 as M02
-from hyperseg_tpu.nn import functional as F
 
 
 VOC_L_KW = dict(levels=3, kernel_sizes=(1, 1, 3, 3, 3, 3), expand_ratio=2,

@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from hyperseg_tpu.core.torch_import import convert_state_dict
 from hyperseg_tpu.models import hyperseg_v1_0 as M

@@ -1,8 +1,6 @@
 """Native host-op kernels vs their numpy references."""
 
 import numpy as np
-import pytest
-
 from hyperseg_tpu import native
 
 

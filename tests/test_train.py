@@ -71,7 +71,7 @@ def test_spmd_train_step_8dev():
     """Full HyperSeg-M train step, jitted over an 8-device (data x spatial)
     mesh on virtual CPU devices — gradient + BN-stat + metric reductions ride
     the mesh. This is the same path __graft_entry__.dryrun_multichip runs."""
-    from hyperseg_tpu.parallel import make_mesh, replicate_params, data_sharded, replicated
+    from hyperseg_tpu.parallel import make_mesh, replicate_params, data_sharded
     from hyperseg_tpu.models import hyperseg_v1_0 as V1
 
     assert jax.device_count() >= 8
