@@ -63,3 +63,52 @@ def meta_linear(x, w, *, out_features, in_features):
 def meta_conv2d_hyper_params(out_channels, in_channels, kernel_size, groups=1):
     kh, kw = kernel_size if isinstance(kernel_size, (tuple, list)) else (kernel_size, kernel_size)
     return out_channels * (in_channels // groups) * kh * kw
+
+
+def meta_patch_conv2d(x, w, *, out_channels, kernel_size=1, groups=1,
+                      padding=None, padding_mode="reflect", stride=(1, 1)):
+    """Standalone patch-wise dynamic conv (MetaPatchConv2d, meta_patch.py:60):
+    x (B, H, W, C); w (B, fh, fw, P) per-patch flat filters. `padding` is the
+    halo radius (default kernel//2)."""
+    from hyperseg_tpu.ops import patch as P
+
+    k = kernel_size if isinstance(kernel_size, int) else kernel_size[0]
+    pad = k // 2 if padding is None else padding
+    fh, fw = w.shape[1], w.shape[2]
+    if pad > 0:
+        xp = P.extract_patches_with_halo(x, fh, fw, (pad, pad), mode=padding_mode)
+    else:
+        xp = P.block_patches(x, fh, fw)
+    out = P.patch_conv_valid(xp, w, out_channels, (k, k), groups=groups,
+                             stride=stride)
+    return P.unblock_patches(out)
+
+
+class MetaSequential:
+    """Weight-routing sequential (meta_sequential.py:5-40): children with a
+    `hyper_params` attribute receive their slice of the flat weight tensor;
+    plain callables receive only x. Accepts a list of per-child weights too."""
+
+    def __init__(self, *children):
+        self.children = list(children)
+        self.ranges = [0]
+        for c in children:
+            self.ranges.append(self.ranges[-1] +
+                               int(getattr(c, "hyper_params", 0)))
+        self.hyper_params = self.ranges[-1]
+
+    def __call__(self, x, w):
+        k = 0
+        for i, c in enumerate(self.children):
+            lo, hi = self.ranges[i], self.ranges[i + 1]
+            if hi > lo:
+                if isinstance(w, (list, tuple)):
+                    x = c(x, w[k])
+                else:
+                    # torch-style clamped slicing (quirk #2)
+                    hi_c = min(hi, w.shape[-1])
+                    x = c(x, w[..., min(lo, hi_c):hi_c])
+                k += 1
+            else:
+                x = c(x)
+        return x

@@ -107,3 +107,40 @@ def test_patch_depthwise(reference, torch):
     out = P.patch_depthwise_valid(xp, wflat, (k, k))
     out = P.unblock_patches(out)
     np.testing.assert_allclose(from_nhwc(out), ref, atol=2e-5, rtol=1e-5)
+
+
+def test_meta_patch_conv2d_wrapper(reference, torch):
+    from hyperseg.models.layers.meta_patch import MetaPatchConv2d
+    b, cin, cout, fh, fw, ph, pw, k = 1, 6, 5, 2, 2, 8, 8, 3
+    m = MetaPatchConv2d(cin, cout, k, padding=1, padding_mode="reflect")
+    x = torch.randn(b, cin, fh * ph, fw * pw)
+    wt = torch.randn(b * fh * fw, int(m.hyper_params))
+    ref = m(x, wt.view(b, fh, fw, -1).permute(0, 3, 1, 2)).numpy()
+    out = meta.meta_patch_conv2d(
+        to_nhwc(x), jnp.asarray(wt.numpy().reshape(b, fh, fw, -1)),
+        out_channels=cout, kernel_size=k)
+    np.testing.assert_allclose(from_nhwc(out), ref, atol=2e-5, rtol=1e-5)
+
+
+def test_meta_sequential_routing():
+    import types
+
+    calls = []
+
+    def make_child(hp, tag):
+        def fn(x, w=None):
+            calls.append((tag, None if w is None else w.shape[-1]))
+            return x
+        obj = types.SimpleNamespace(hyper_params=hp)
+        wrapped = lambda x, w=None, f=fn: f(x, w)
+        wrapped.hyper_params = hp
+        return wrapped
+
+    plain = lambda x: x
+    seq = meta.MetaSequential(make_child(4, "a"), plain, make_child(6, "b"))
+    assert seq.hyper_params == 10
+    import numpy as _np
+    x = jnp.zeros((1, 2))
+    w = jnp.zeros((1, 8))  # fewer channels than hyper_params: clamped slices
+    seq(x, w)
+    assert calls == [("a", 4), ("b", 4)]  # second slice clamped to 8-4=4
