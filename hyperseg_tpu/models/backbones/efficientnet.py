@@ -293,13 +293,21 @@ class EfficientNet:
             x = x + inputs
         return x
 
+    def _stem(self, params, x):
+        """Stem conv (3x3/s2). Note: a space-to-depth rewrite (k2/s1 over a
+        4*Cin view) was measured and is SLOWER on v5e than the plain conv —
+        both the 6-D transpose and strided-slice constructions of the s2d view
+        cost more than the 3-channel lane waste they remove."""
+        return F.conv2d(x, params["_conv_stem.weight"], stride=(2, 2),
+                        padding=self.stem_pad)
+
     def __call__(self, params, x, ctx=None):
         """x: (B, H, W, in_channels) NHWC. Returns the multi-scale feature list
         (one per stride level, compressed) + the stride-32 head feature —
         mirroring extract_features_list (efficientnet.py:319-363)."""
         train = ctx is not None and ctx.train
         rng = ctx.rng if ctx is not None else None
-        x = F.conv2d(x, params["_conv_stem.weight"], stride=(2, 2), padding=self.stem_pad)
+        x = self._stem(params, x)
         x = F.swish(self._bn(params, "_bn0", x, ctx))
 
         feats = []
