@@ -83,3 +83,22 @@ class CamVidDataset(SegDataset):
         if self.transforms is not None:
             img, target = self.transforms(img, target)
         return img, np.array(target).astype(np.int32)
+
+
+def main(root, split="test", n=2):
+    """Dataset smoke harness (camvid.py:149-178)."""
+    from hyperseg_tpu.data.seg_transforms import Compose, ToArray
+    ds = CamVidDataset(root, split, transforms=Compose([ToArray()]))
+    print(f"{len(ds)} samples, {len(ds.classes)} classes")
+    for i in range(min(n, len(ds))):
+        img, lbl = ds[i]
+        print(i, img.shape, lbl.shape, "labels:", np.unique(lbl)[:8])
+
+
+if __name__ == "__main__":
+    import argparse
+    p = argparse.ArgumentParser("camvid smoke test")
+    p.add_argument("root")
+    p.add_argument("-s", "--split", default="test")
+    a = p.parse_args()
+    main(a.root, a.split)

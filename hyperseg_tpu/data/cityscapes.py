@@ -176,3 +176,23 @@ class CityscapesDataset(SegDataset):
         if self.return_indices:
             return image, index
         return image, np.array(target).astype(np.int32)
+
+
+def main(root, split="val", n=2):
+    """Dataset smoke harness (the reference's per-module __main__ convention,
+    cityscapes.py:296-324): iterate a few samples and print shapes."""
+    from hyperseg_tpu.data.seg_transforms import Compose, ToArray
+    ds = CityscapesDataset(root, split, transforms=Compose([ToArray()]))
+    print(f"{len(ds)} samples, {len(ds.classes)} classes")
+    for i in range(min(n, len(ds))):
+        img, lbl = ds[i]
+        print(i, img.shape, lbl.shape, "labels:", np.unique(lbl)[:8])
+
+
+if __name__ == "__main__":
+    import argparse
+    p = argparse.ArgumentParser("cityscapes smoke test")
+    p.add_argument("root")
+    p.add_argument("-s", "--split", default="val")
+    a = p.parse_args()
+    main(a.root, a.split)

@@ -339,3 +339,33 @@ class UpDownPyramids(Pyramids):
         for _ in range(self.up_levels):
             pyd.append(Image.fromarray(cv2.pyrUp(np.array(pyd[0]))))
         return pyd
+
+
+def main(input_img, label_img, out="transform_preview.png"):
+    """Transform visualization harness (seg_transforms.py:489-544): applies a
+    default train pipeline to one (image, label) pair and saves a preview."""
+    import numpy as np
+    from hyperseg_tpu.utils.img_utils import blend_seg, denormalize, make_grid
+
+    img = Image.open(input_img).convert("RGB")
+    lbl = Image.open(label_img)
+    tf = Compose([RandomResize(scale_range=(0.5, 1.5)),
+                  RandomCrop((256, 256), pad_if_needed=True, lbl_fill=255),
+                  RandomHorizontalFlip(), ToArray(), Normalize()])
+    a, l = tf(img, lbl)
+    base = denormalize(a)
+    colors = [(int(37 * i) % 256, int(91 * i) % 256, int(151 * i) % 256)
+              for i in range(256)]
+    grid = make_grid(base, blend_seg(base, l, colors))
+    Image.fromarray((grid * 255).astype(np.uint8)).save(out)
+    print(f"saved {out}; image {a.shape}, label {l.shape}")
+
+
+if __name__ == "__main__":
+    import argparse
+    p = argparse.ArgumentParser("seg_transforms preview")
+    p.add_argument("input_img")
+    p.add_argument("label_img")
+    p.add_argument("-o", "--out", default="transform_preview.png")
+    a = p.parse_args()
+    main(a.input_img, a.label_img, a.out)
