@@ -92,7 +92,9 @@ def conv2d(x, w, b=None, *, stride=(1, 1), padding=((0, 0), (0, 0)),
         padding = ((padding, padding), (padding, padding))
     if dtype is not None:
         x = x.astype(dtype)
-        w = w.astype(dtype)
+    # mixed-precision: parameters follow the activation dtype (a no-op cast
+    # for matching dtypes; XLA folds it into the conv)
+    w = w.astype(x.dtype)
     out = lax.conv_general_dilated(
         x, w,
         window_strides=stride,
