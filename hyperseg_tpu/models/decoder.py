@@ -214,6 +214,24 @@ class V01InvResUnit:
 Unit = Union[PatchConvUnit, InvResUnit, V01InvResUnit]
 
 
+def apply_unit(params, u, x, w, ctx, *, remat=False):
+    """Apply a hyper unit, optionally under jax.checkpoint during training
+    (the halo-expanded hidden tensors dominate training memory). Remat-safe:
+    the unit runs in its own Ctx so BN-state updates flow out as function
+    outputs rather than side effects."""
+    if not (remat and ctx is not None and ctx.train):
+        return u.apply(params, x, w, ctx)
+
+    def fn(p_, x_, w_):
+        uctx = F.Ctx(train=True, rng=None)
+        y_ = u.apply(p_, x_, w_, uctx)
+        return y_, uctx.updates
+
+    y, upd = jax.checkpoint(fn)(params, x, w)
+    ctx.updates.update(upd)
+    return y
+
+
 def apply_signal2weights(params, s, route: S2W):
     """Generate a unit's weight map from the signal: grouped 1x1 conv on the
     routed channel slice, clipped to hyper_params (hyperseg_v1_0.py:321-326).
@@ -292,7 +310,7 @@ class MultiScaleDecoderV1:
                  kernel_sizes=3, level_layers=1, level_channels=None,
                  expand_ratio=1, groups=1, weight_groups=1, with_out_fc=False,
                  out_kernel_size=1, dropout=None, coords_res=None,
-                 legacy_divide=False, prefix="decoder"):
+                 legacy_divide=False, remat=False, prefix="decoder"):
         levels = len(level_channels)
         ks = ([kernel_sizes] * levels if isinstance(kernel_sizes, int) else list(kernel_sizes))
         ll = ([level_layers] * levels if isinstance(level_layers, int) else list(level_layers))
@@ -300,6 +318,7 @@ class MultiScaleDecoderV1:
               else list(expand_ratio))
         assert len(ks) == levels and len(ll) == levels and len(er) == levels
         self.levels = levels
+        self.remat = remat  # jax.checkpoint hyper units during training
         self.prefix = prefix
         self.num_classes = num_classes
         self.dropout = dropout
@@ -396,7 +415,7 @@ class MultiScaleDecoderV1:
                 lo = min(base, hi)
                 w = apply_signal2weights(params, s[..., lo:hi] if (lo, hi) != (0, s.shape[-1]) else s, u.s2w) \
                     if u.s2w is not None else s[..., lo:hi]
-                p = u.apply(params, p, w, ctx)
+                p = apply_unit(params, u, p, w, ctx, remat=self.remat)
                 base += u.hyper_params
 
         for u in self.out_fc_units:

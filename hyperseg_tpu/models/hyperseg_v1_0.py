@@ -19,7 +19,8 @@ def build_hypergen(backbone: EfficientNet, *, num_classes=3, kernel_sizes=3,
                    weight_groups=1, with_out_fc=False, decoder_groups=1,
                    decoder_dropout=None, inference_hflip=False,
                    inference_gather="mean", coords_res=None, wm_levels=3,
-                   in_nc=3, legacy_divide=LEGACY_DIVIDE) -> HyperGen:
+                   in_nc=3, legacy_divide=LEGACY_DIVIDE,
+                   decoder_remat=False) -> HyperGen:
     """Assemble a v1_0/v0_2-style HyperGen (hyperseg_v1_0.py:33-46)."""
     feat_channels = [in_nc] + backbone.feat_channels[:-1]
     decoder = MultiScaleDecoderV1(
@@ -28,7 +29,7 @@ def build_hypergen(backbone: EfficientNet, *, num_classes=3, kernel_sizes=3,
         level_channels=level_channels, expand_ratio=expand_ratio,
         groups=decoder_groups, weight_groups=weight_groups,
         with_out_fc=with_out_fc, out_kernel_size=1, dropout=decoder_dropout,
-        coords_res=coords_res, legacy_divide=legacy_divide)
+        coords_res=coords_res, legacy_divide=legacy_divide, remat=decoder_remat)
     weight_mapper = WeightMapperV1(backbone.feat_channels[-1],
                                    decoder.param_groups, levels=wm_levels)
     return HyperGen(backbone, decoder, weight_mapper,
