@@ -362,3 +362,24 @@ def efficientnet(model_name, pretrained=False, weights_path=None, **kwargs):
     hyperseg_tpu.core.torch_import (this environment has no network egress)."""
     model = EfficientNet(model_name, **kwargs)
     return model
+
+
+def load_pretrained_backbone(params, weights_path, prefix="backbone."):
+    """Load ImageNet-pretrained EfficientNet weights from a local .pth into a
+    HyperGen parameter dict — the load_fc=False partial-match semantics of the
+    reference (efficientnet_utils.py:643-674): only keys that exist with
+    matching shapes are taken (classifier head and reshaped feature
+    compressors are skipped). This environment has no network egress, so the
+    torch checkpoint must already be on disk (lukemelas release files work).
+    Returns (params, n_loaded)."""
+    from hyperseg_tpu.core.torch_import import load_torch_checkpoint
+
+    loaded, _ = load_torch_checkpoint(weights_path)
+    out = dict(params)
+    n = 0
+    for k, v in loaded.items():
+        key = prefix + k
+        if key in out and out[key].shape == v.shape:
+            out[key] = v
+            n += 1
+    return out, n
