@@ -47,3 +47,33 @@ def test_backbone_init_shapes():
     assert [f.shape[-1] for f in feats] == jm.feat_channels
     # stride pyramid: 2, 4, 8, 16, 32, 32
     assert [f.shape[1] for f in feats] == [32, 16, 8, 4, 2, 2]
+
+
+def test_load_pretrained_backbone(reference, torch, tmp_path):
+    """load_fc=False partial-match semantics: backbone tensors with matching
+    shapes load; feature compressors / heads absent from ImageNet checkpoints
+    stay initialized."""
+    import jax
+    from hyperseg_tpu.models.backbones.efficientnet import load_pretrained_backbone
+    from hyperseg_tpu.models import hyperseg_v1_0 as M
+
+    # fabricate an "ImageNet" checkpoint: a plain reference b0 classifier
+    from hyperseg.models.backbones.efficientnet import EfficientNet as TorchEffNet
+    tm = TorchEffNet.from_name("efficientnet-b0", out_feat_scale=None,
+                               head=None, return_features=False)
+    path = tmp_path / "effnet_b0.pth"
+    torch.save(tm.state_dict(), str(path))
+
+    jm = M.hyperseg_efficientnet(
+        "efficientnet-b0", levels=2, kernel_sizes=[1, 3],
+        level_channels=[16, 16], expand_ratio=2, weight_groups=[8, 8],
+        num_classes=4)
+    params = jm.init(jax.random.PRNGKey(0))
+    loaded, n = load_pretrained_backbone(params, str(path))
+    assert n > 100  # stem + blocks + head conv/BNs matched
+    w = np.asarray(loaded["backbone._conv_stem.weight"])
+    want = tm.state_dict()["_conv_stem.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(w, want, atol=1e-6)
+    # decoder params untouched
+    k = "decoder.level_0.0.0.signal2weights.weight"
+    np.testing.assert_array_equal(np.asarray(loaded[k]), np.asarray(params[k]))

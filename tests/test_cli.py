@@ -48,6 +48,7 @@ def test_train_eval_fps_roundtrip(tmp_path):
         workers=2, optimizer={"lr": 1e-3}, log_every=1)
     assert os.path.isfile(exp_dir / "model_latest.npz")
     assert os.path.isfile(exp_dir / "model_best.npz")
+    assert os.path.isfile(exp_dir / "model_latest.opt")  # optimizer state
     assert 0.0 <= best <= 1.0
 
     # resume should pick up at epoch 2 and do nothing more
@@ -68,3 +69,10 @@ def test_train_eval_fps_roundtrip(tmp_path):
                        compute_dtype="float32", num_classes=12)
     assert fps > 0
     assert os.path.isfile(exp_dir / "test_fps" / "scores.npz")
+
+    # pyramid TTA eval path (pyramid transform -> forward_pyramid); the up
+    # pyramid keeps every scale divisible by the stride-32 patch grid
+    miou_tta = test_cli.main(
+        str(exp_dir), test_dataset=val_spec, batch_size=2, forced=True,
+        img_transforms=["hyperseg_tpu.data.seg_transforms.UpDownPyramids(1, 1)"])
+    assert 0.0 <= miou_tta <= 1.0
