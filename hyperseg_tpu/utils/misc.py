@@ -96,19 +96,71 @@ def eval_fraction(s: str) -> float:
     return float(num) / den if den else 0.0
 
 
-def init_weights_xavier(params, rng):
-    """Re-initialize conv kernels with Xavier/Glorot normal — the trainer's
-    init_weights scheme (train.py:277-279) applied to a flat param dict."""
+def init_weights(params, rng, init_type="normal", gain=0.02):
+    """Multi-scheme re-initialization of conv/linear weights over a flat param
+    dict (utils/utils.py:16-33): 'normal' | 'xavier' | 'kaiming' |
+    'orthogonal'; biases zeroed; BN affine -> N(1, gain), 0. The trainer's
+    init_weights is the xavier scheme (train.py:277-279)."""
     import jax
     import jax.numpy as jnp
     out = dict(params)
     i = 0
+
+    def key():
+        nonlocal i
+        i += 1
+        return jax.random.fold_in(rng, i)
+
+    bn_scales = {k[:-len(".running_mean")] for k in params
+                 if k.endswith(".running_mean")}
     for k, v in params.items():
-        if k.endswith(".weight") and v.ndim == 4:
+        base = k[:-len(".weight")] if k.endswith(".weight") else None
+        if base is not None and base in bn_scales:
+            out[k] = 1.0 + gain * jax.random.normal(key(), v.shape, jnp.float32)
+            continue
+        if k.endswith(".bias"):
+            out[k] = jnp.zeros_like(v)
+            continue
+        if not (k.endswith(".weight") and v.ndim in (2, 4)):
+            continue
+        if v.ndim == 4:
             kh, kw, cin, cout = v.shape
             fan_in, fan_out = kh * kw * cin, kh * kw * cout
-            std = math.sqrt(2.0 / (fan_in + fan_out))
-            out[k] = std * jax.random.normal(jax.random.fold_in(rng, i),
-                                             v.shape, jnp.float32)
-            i += 1
+        else:
+            fan_in, fan_out = v.shape
+        if init_type == "normal":
+            out[k] = gain * jax.random.normal(key(), v.shape, jnp.float32)
+        elif init_type == "xavier":
+            std = gain * math.sqrt(2.0 / (fan_in + fan_out))
+            out[k] = std * jax.random.normal(key(), v.shape, jnp.float32)
+        elif init_type == "kaiming":
+            std = math.sqrt(2.0 / fan_in)
+            out[k] = std * jax.random.normal(key(), v.shape, jnp.float32)
+        elif init_type == "orthogonal":
+            rows = int(np.prod(v.shape[:-1]))
+            cols = v.shape[-1]
+            flat = jax.random.normal(key(), (max(rows, cols), min(rows, cols)),
+                                     jnp.float32)
+            q, r = jnp.linalg.qr(flat)
+            q = q * jnp.sign(jnp.diagonal(r))
+            if rows < cols:
+                q = q.T
+            out[k] = gain * q[:rows, :cols].reshape(v.shape)
+        else:
+            raise NotImplementedError(init_type)
     return out
+
+
+# backwards-compatible alias
+def init_weights_xavier(params, rng):
+    return init_weights(params, rng, init_type="xavier", gain=1.0)
+
+
+def set_device(index=None):
+    """Device pick helper (the set_device analogue, utils/utils.py:36-46):
+    returns (device, all_devices) preferring accelerators over CPU."""
+    import jax
+    devices = jax.devices()
+    device = devices[index or 0]
+    print(f"=> using {device.platform} device: {device}")
+    return device, devices
