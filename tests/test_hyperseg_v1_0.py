@@ -114,3 +114,30 @@ def test_pyramid_hflip_composition(reference, torch, calibrate):
         out = y if out is None else (out + y) * 0.5
     assert np.std(out) > 1e-6
     np.testing.assert_allclose(got, out, atol=1e-5)
+
+
+def test_logits_parity_with_out_fc(reference, torch, calibrate):
+    """with_out_fc=True appends a dynamic 1x1 HyperPatchConv2d head
+    (hyperseg_v1_0.py:165-172,183-185); levels then keep their own widths."""
+    import copy
+    from hyperseg.models.hyperseg_v1_0 import hyperseg_efficientnet
+    kw = dict(levels=2, kernel_sizes=[1, 3], level_channels=[16, 16],
+              expand_ratio=2, weight_groups=[8, 8, 8], num_classes=6,
+              with_out_fc=True)
+    torch.manual_seed(21)
+    x = torch.randn(2, 3, 128, 256)
+    tm = hyperseg_efficientnet("efficientnet-b0", pretrained=False,
+                               **copy.deepcopy(kw))
+    calibrate(tm, x)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+    assert np.std(ref) > 1e-2
+
+    jm = M.hyperseg_efficientnet("efficientnet-b0", **copy.deepcopy(kw))
+    assert jm.decoder.param_groups == list(tm.decoder.param_groups)
+    params = convert_state_dict(tm.state_dict())
+    out = jm(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    got = np.asarray(out).transpose(0, 3, 1, 2)
+    assert got.shape == ref.shape
+    tol = 2e-3 * max(float(ref.std()), 1.0)
+    np.testing.assert_allclose(got, ref, atol=tol)
