@@ -442,12 +442,13 @@ class MultiScaleDecoderV0:
 
     def __init__(self, feat_channels, num_classes=3, kernel_sizes=3,
                  level_layers=1, expand_ratio=1, with_out_fc=False,
-                 out_kernel_size=1, dropout=None, prefix="decoder"):
+                 out_kernel_size=1, dropout=None, remat=False, prefix="decoder"):
         levels = len(feat_channels)
         ks = ([kernel_sizes] * levels if isinstance(kernel_sizes, int) else list(kernel_sizes))
         ll = ([level_layers] * levels if isinstance(level_layers, int) else list(level_layers))
         assert len(ks) == levels and len(ll) == levels
         self.levels = levels
+        self.remat = remat
         self.prefix = prefix
         self.num_classes = num_classes
         rev_feats = list(feat_channels[::-1])
@@ -514,7 +515,8 @@ class MultiScaleDecoderV0:
             w = weights[lv]
             base = 0
             for u in units:
-                p = u.apply(params, p, w[..., base:base + u.hyper_params], ctx)
+                p = apply_unit(params, u, p, w[..., base:base + u.hyper_params],
+                               ctx, remat=self.remat)
                 base += u.hyper_params
 
         for u in self.out_fc_units:
@@ -542,7 +544,7 @@ class MultiScaleDecoderUnify:
                  kernel_sizes=3, level_layers=1, level_channels=None,
                  expand_ratio=1, groups=1, weight_groups=1, with_out_fc=False,
                  out_kernel_size=1, dropout=None, coords_res=None,
-                 unify_level=None, prefix="decoder"):
+                 unify_level=None, remat=False, prefix="decoder"):
         levels = len(level_channels)
         assert unify_level is not None and 1 <= unify_level <= levels
         ks = ([kernel_sizes] * levels if isinstance(kernel_sizes, int) else list(kernel_sizes))
@@ -551,6 +553,7 @@ class MultiScaleDecoderUnify:
               else list(expand_ratio))
         self.levels = levels
         self.unify_level = unify_level
+        self.remat = remat
         self.prefix = prefix
         self.num_classes = num_classes
         self.dropout = dropout
@@ -645,7 +648,8 @@ class MultiScaleDecoderUnify:
 
             base = 0
             for u in units:
-                p = u.apply(params, p, w[..., base:base + u.hyper_params], ctx)
+                p = apply_unit(params, u, p, w[..., base:base + u.hyper_params],
+                               ctx, remat=self.remat)
                 base += u.hyper_params
 
         if p.shape[1:3] != xs[0].shape[1:3]:

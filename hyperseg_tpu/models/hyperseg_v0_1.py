@@ -18,12 +18,13 @@ def build_hypergen(backbone: EfficientNet, *, num_classes=3, kernel_sizes=3,
                    decoder_dropout=None, inference_hflip=False,
                    inference_gather="mean", wm_levels=2, down_groups=1,
                    flat_groups=1, weight_groups=1, avg_pool=True,
-                   in_nc=3) -> HyperGen:
+                   in_nc=3, decoder_remat=False) -> HyperGen:
     feat_channels = [in_nc] + backbone.feat_channels[:-1]
     decoder = MultiScaleDecoderV0(
         feat_channels, num_classes=num_classes, kernel_sizes=kernel_sizes,
         level_layers=level_layers, expand_ratio=expand_ratio,
-        with_out_fc=with_out_fc, out_kernel_size=1, dropout=decoder_dropout)
+        with_out_fc=with_out_fc, out_kernel_size=1, dropout=decoder_dropout,
+        remat=decoder_remat)
     weight_mapper = WeightMapperV0(
         backbone.feat_channels[-1], decoder.param_groups, levels=wm_levels,
         down_groups=down_groups, flat_groups=flat_groups,

@@ -17,7 +17,7 @@ def build_hypergen(backbone: EfficientNet, *, num_classes=3, kernel_sizes=3,
                    weight_groups=1, with_out_fc=False, decoder_groups=1,
                    decoder_dropout=None, inference_hflip=False,
                    inference_gather="mean", coords_res=None, unify_level=None,
-                   wm_levels=3, in_nc=3) -> HyperGen:
+                   wm_levels=3, in_nc=3, decoder_remat=False) -> HyperGen:
     feat_channels = [in_nc] + backbone.feat_channels[:-1]
     decoder = MultiScaleDecoderUnify(
         feat_channels, backbone.feat_channels[-1], num_classes=num_classes,
@@ -25,7 +25,7 @@ def build_hypergen(backbone: EfficientNet, *, num_classes=3, kernel_sizes=3,
         level_channels=level_channels, expand_ratio=expand_ratio,
         groups=decoder_groups, weight_groups=weight_groups,
         with_out_fc=with_out_fc, dropout=decoder_dropout,
-        coords_res=coords_res, unify_level=unify_level)
+        coords_res=coords_res, unify_level=unify_level, remat=decoder_remat)
     weight_mapper = WeightMapperV1(backbone.feat_channels[-1],
                                    decoder.param_groups, levels=wm_levels)
     return HyperGen(backbone, decoder, weight_mapper,
