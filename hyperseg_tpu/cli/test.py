@@ -129,6 +129,8 @@ def main(exp_dir, *, model=None, arch=None, test_dataset=None,
             rows = []
             for idx in idxs:
                 img, lbl = test_ds[int(idx)]
+                if isinstance(img, (list, tuple)):
+                    img = img[0]  # pyramid transforms: visualize base scale
                 out = eval_step(params, {
                     "image": jnp.asarray(img)[None],
                     "label": jnp.asarray(lbl, jnp.int32)[None]})
