@@ -105,9 +105,11 @@ def main(exp_dir, *, model, train_dataset, val_dataset=None,
                      else L.BootstrappedCrossEntropyLoss(ignore_index=255))
 
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    # donate the previous step's state buffers: params/opt-state update in
+    # place on device, halving the peak optimizer-state footprint
     train_step = jax.jit(T.make_train_step(
         model_obj, criterion_obj, optimizer_t, num_classes=num_classes,
-        compute_dtype=dtype))
+        compute_dtype=dtype), donate_argnums=(0,))
     eval_step = jax.jit(T.make_eval_step(model_obj, num_classes=num_classes,
                                          compute_dtype=dtype))
 

@@ -55,6 +55,13 @@ def test_train_eval_fps_roundtrip(tmp_path):
     train_cli.main(str(exp_dir), model=TINY_ARCH, train_dataset=ds_spec,
                    epochs=2, train_iterations=4, batch_size=2, workers=2)
 
+    # bf16 compute path: one extra epoch trains without NaNs
+    best_bf16 = train_cli.main(
+        str(exp_dir), model=TINY_ARCH, train_dataset=ds_spec,
+        val_dataset=val_spec, epochs=3, train_iterations=4, batch_size=2,
+        workers=2, compute_dtype="bfloat16", log_every=1)
+    assert 0.0 <= best_bf16 <= 1.0
+
     miou = test_cli.main(str(exp_dir), test_dataset=val_spec, batch_size=2,
                          forced=True, display_worst=1)
     assert os.path.isfile(exp_dir / "test" / "scores.npz")
