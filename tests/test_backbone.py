@@ -77,3 +77,19 @@ def test_load_pretrained_backbone(reference, torch, tmp_path):
     # decoder params untouched
     k = "decoder.level_0.0.0.signal2weights.weight"
     np.testing.assert_array_equal(np.asarray(loaded[k]), np.asarray(params[k]))
+
+
+@pytest.mark.parametrize("name,expected_levels", [
+    ("efficientnet-c0", 6),  # extra stride stage, 1920-ch head
+    ("efficientnet-s0", 5),  # first stage already stride 2
+])
+def test_custom_variants_smoke(name, expected_levels):
+    """The reference defines c*/s* block tables (efficientnet_utils.py:579-600)
+    but its from_name validator rejects the names (efficientnet.py:473-479),
+    making them unreachable there; here they build and run."""
+    import jax
+    jm = EfficientNet(name, out_feat_scale=0.25, head=None)
+    assert len(jm.feat_channels) == expected_levels + 1
+    params = jm.init(jax.random.PRNGKey(0))
+    feats = jm(params, jnp.zeros((1, 128, 128, 3)))
+    assert [f.shape[-1] for f in feats] == jm.feat_channels

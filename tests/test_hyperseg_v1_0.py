@@ -141,3 +141,28 @@ def test_logits_parity_with_out_fc(reference, torch, calibrate):
     assert got.shape == ref.shape
     tol = 2e-3 * max(float(ref.std()), 1.0)
     np.testing.assert_allclose(got, ref, atol=tol)
+
+
+def test_logits_parity_decoder_groups(reference, torch, calibrate):
+    """Per-level conv groups in the k=1 hyper blocks (decoder_groups list,
+    hyperseg_v1_0.py:156-159)."""
+    import copy
+    from hyperseg.models.hyperseg_v1_0 import hyperseg_efficientnet
+    kw = dict(levels=2, kernel_sizes=[1, 1, 3], level_channels=[32, 16, 16],
+              expand_ratio=2, weight_groups=[8, 8, 8], num_classes=6,
+              decoder_groups=[2, 2, 1])
+    torch.manual_seed(31)
+    x = torch.randn(2, 3, 128, 256)
+    tm = hyperseg_efficientnet("efficientnet-b0", pretrained=False,
+                               **copy.deepcopy(kw))
+    calibrate(tm, x)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+    assert np.std(ref) > 1e-2
+
+    jm = M.hyperseg_efficientnet("efficientnet-b0", **copy.deepcopy(kw))
+    params = convert_state_dict(tm.state_dict())
+    out = jm(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    got = np.asarray(out).transpose(0, 3, 1, 2)
+    tol = 2e-3 * max(float(ref.std()), 1.0)
+    np.testing.assert_allclose(got, ref, atol=tol)
