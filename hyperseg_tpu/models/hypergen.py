@@ -41,6 +41,16 @@ class HyperGen:
         params.update({f"backbone.{k}": v for k, v in bp.items()})
         self.weight_mapper.init(kw, params)
         self.decoder.init(kd, params)
+        # factories built with weights_path= stage converted checkpoint
+        # parameters here; shape-matching tensors override the random init
+        loaded = getattr(self, "_pretrained_params", None)
+        if loaded:
+            n = 0
+            for k, v in loaded.items():
+                if k in params and params[k].shape == v.shape:
+                    params[k] = v
+                    n += 1
+            print(f"=> initialized {n}/{len(params)} tensors from checkpoint")
         return params
 
     def _backbone_params(self, params):
