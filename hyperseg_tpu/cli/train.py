@@ -177,6 +177,10 @@ def main(exp_dir, *, model, train_dataset, val_dataset=None,
                         blend_seg(img, lbl, train_ds.color_map))
                     logger.log_image("val/pred", grid, epoch)
         scores = M.scores_from_confmat(confmat)
+        if not train:
+            names = [getattr(c, "name", str(c)) for c in train_ds.classes]
+            logger.log_heatmap("val/confusion", np.asarray(confmat), epoch,
+                               labels=names)
         return (loss_sum / max(steps, 1)), scores["mean_iou"]
 
     for epoch in range(start_epoch, epochs):

@@ -72,6 +72,36 @@ class TensorBoardLogger:
             self.writer.add_image(tag, np.asarray(img_hwc).transpose(2, 0, 1),
                                   global_step)
 
+    def log_heatmap(self, tag: str, matrix: np.ndarray, global_step: int,
+                    labels=None):
+        """Confusion-matrix heatmap (the reference's seaborn heatmaps,
+        tensorboard_logger.py:70-86), rendered with matplotlib when present."""
+        if self.writer is None:
+            return
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        m = np.asarray(matrix, np.float64)
+        norm = m / np.maximum(m.sum(axis=1, keepdims=True), 1)
+        fig, ax = plt.subplots(figsize=(6, 5), dpi=100)
+        im = ax.imshow(norm, cmap="viridis", vmin=0, vmax=1)
+        fig.colorbar(im, ax=ax)
+        if labels is not None:
+            ax.set_xticks(range(len(labels)))
+            ax.set_yticks(range(len(labels)))
+            ax.set_xticklabels(labels, rotation=90, fontsize=6)
+            ax.set_yticklabels(labels, fontsize=6)
+        ax.set_xlabel("prediction")
+        ax.set_ylabel("ground truth")
+        fig.tight_layout()
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+        plt.close(fig)
+        self.writer.add_image(tag, buf.transpose(2, 0, 1), global_step)
+
     def _write(self, scalars: Dict[str, float], step: int, suffix: str):
         if self.writer is not None:
             for k, v in scalars.items():
