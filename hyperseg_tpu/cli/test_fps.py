@@ -97,10 +97,34 @@ def main(exp_dir, *, model=None, arch=None, test_dataset=None,
                        "label": rng.randint(0, num_classes,
                                             (batch_size, *res)).astype(np.int32)}
 
+    @jax.jit
+    def eval_step_pyramid(params, batch):
+        from hyperseg_tpu.nn import functional as F
+        from hyperseg_tpu.train import metrics as M
+        logits = model_obj.forward_pyramid(params, batch["image"])
+        logits = F.resize_bilinear(logits, batch["label"].shape[1:3])
+        preds = jnp.argmax(logits, axis=-1)
+        return {"confmat": M.confusion_matrix(batch["label"], preds,
+                                              num_classes, ignore_index=255),
+                "preds": preds}
+
     confmat = jnp.zeros((num_classes, num_classes), jnp.int32)
     total_time, total_imgs, n_batches = 0.0, 0, 0
     for p in range(2):  # pass 0 = warmup, pass 1 = measured (test_fps.py:163)
         for batch in batches():
+            if isinstance(batch["image"], (list, tuple)):
+                t0 = time.perf_counter()
+                b = {"image": [jnp.asarray(v, dtype) for v in batch["image"]],
+                     "label": jnp.asarray(batch["label"], jnp.int32)}
+                out = eval_step_pyramid(params, b)
+                jax.block_until_ready(out["confmat"])
+                dt = time.perf_counter() - t0
+                if p == 1:
+                    total_time += dt
+                    total_imgs += b["image"][0].shape[0]
+                    n_batches += 1
+                    confmat = confmat + out["confmat"]
+                continue
             t0 = time.perf_counter()
             b = {"image": jnp.asarray(batch["image"], dtype),
                  "label": jnp.asarray(batch["label"], jnp.int32)}
