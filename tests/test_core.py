@@ -66,3 +66,33 @@ def test_checkpoint_roundtrip(tmp_path):
     x = jnp.zeros((1, 64, 64, 3))
     np.testing.assert_allclose(np.asarray(model(params, x)),
                                np.asarray(model2(params2, x)), atol=1e-6)
+
+
+def test_export_state_dict_roundtrip(reference):
+    """Reverse interop: params exported with export_state_dict load back into
+    the reference torch model with exact values (torch -> jax -> torch)."""
+    import copy
+    import torch
+    from hyperseg.models.hyperseg_v1_0 import hyperseg_efficientnet
+    from hyperseg_tpu.core.torch_import import convert_state_dict, export_state_dict
+
+    kw = dict(levels=2, kernel_sizes=[1, 3], level_channels=[16, 16],
+              expand_ratio=2, weight_groups=[8, 8], num_classes=4)
+    torch.manual_seed(3)
+    tm = hyperseg_efficientnet("efficientnet-b0", pretrained=False,
+                               **copy.deepcopy(kw))
+    sd = tm.state_dict()
+    params = convert_state_dict(sd)
+    back = export_state_dict(params)
+    missing = []
+    for k, v in sd.items():
+        if "num_batches_tracked" in k or ".coord" in k:
+            continue
+        if k not in back:
+            missing.append(k)
+            continue
+        np.testing.assert_allclose(back[k], v.numpy(), atol=1e-6, err_msg=k)
+    assert not missing, missing[:5]
+    # and torch accepts it
+    tm.load_state_dict({k: torch.from_numpy(np.array(v)) for k, v in back.items()},
+                       strict=False)
