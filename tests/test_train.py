@@ -108,3 +108,43 @@ def test_spmd_train_step_8dev():
     k = "backbone._bn0.running_mean"
     assert not np.allclose(np.asarray(new_state["params"][k]),
                            np.asarray(state["params"][k]))
+
+
+def test_weighted_ce_parity(reference, torch):
+    import torch.nn.functional as TF
+    b, c, h, w = 2, 5, 8, 8
+    torch.manual_seed(5)
+    logits = torch.randn(b, c, h, w)
+    labels = torch.randint(0, c, (b, h, w))
+    labels[:, 0] = 255
+    weight = torch.rand(c) + 0.5
+    ref = TF.cross_entropy(logits, labels, weight=weight, ignore_index=255).item()
+    got = L.cross_entropy_loss(
+        jnp.asarray(logits.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray(labels.numpy()), ignore_index=255,
+        weight=jnp.asarray(weight.numpy()))
+    np.testing.assert_allclose(float(got), ref, rtol=2e-5)
+
+
+def test_per_image_jaccard_matches_reference():
+    """Reference formula transcribed from test.py:210-227 (importing
+    hyperseg.test pulls torchvision, absent here): confusion matrix over valid
+    targets, union of the ignore class zeroed, mean IoU over non-empty unions
+    with a 1e-6 eps."""
+    rng = np.random.RandomState(0)
+    num_classes, ignore = 6, 0
+    target = rng.randint(0, num_classes, (16, 16))
+    pred = rng.randint(0, num_classes, (16, 16))
+
+    mask = (target >= 0) & (target < num_classes)
+    inds = num_classes * target[mask] + pred[mask]
+    cm = np.bincount(inds, minlength=num_classes ** 2).reshape(num_classes,
+                                                               num_classes)
+    inter = np.diag(cm).astype(np.float64)
+    union = cm.sum(1) + cm.sum(0) - inter
+    union[ignore] = 0
+    score = inter / (union + 1e-6)
+    ref = score[union > 0].mean()
+
+    got = M.per_image_jaccard(target, pred, num_classes, ignore_index=ignore)
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
