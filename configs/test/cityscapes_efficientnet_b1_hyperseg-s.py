@@ -1,10 +1,13 @@
-"""HyperSeg-S Cityscapes val eval — evaluation config (mirrors the reference test config)."""
+"""HyperSeg-S Cityscapes val eval — evaluation config (mirrors the reference test config; image-only
+resize keeps labels at native resolution as in the reference)."""
 
 import os
 import sys
 
 from hyperseg_tpu.cli.test import main
 from hyperseg_tpu.core.registry import Spec
+
+T = "hyperseg_tpu.data.seg_transforms."
 
 if __name__ == "__main__":
     exp_name = os.path.splitext(os.path.basename(__file__))[0]
@@ -16,7 +19,7 @@ if __name__ == "__main__":
     data_dir = sys.argv[1] if len(sys.argv) > 1 else "data/cityscapes"
 
     test_dataset = Spec("hyperseg_tpu.data.cityscapes.CityscapesDataset", (data_dir, "val", "fine", "semantic"))
-    img_transforms = [Spec("hyperseg_tpu.data.seg_transforms.Resize", ([768, 1536],))]
+    img_transforms = [Spec(T + "ImageResize", ([768, 1536],))]
     
 
     os.makedirs(exp_dir, exist_ok=True)

@@ -1,10 +1,13 @@
-"""HyperSeg-L VOC val eval — evaluation config (mirrors the reference test config)."""
+"""HyperSeg-L VOC val eval — evaluation config (mirrors the reference test config; image-only
+resize keeps labels at native resolution as in the reference)."""
 
 import os
 import sys
 
 from hyperseg_tpu.cli.test import main
 from hyperseg_tpu.core.registry import Spec
+
+T = "hyperseg_tpu.data.seg_transforms."
 
 if __name__ == "__main__":
     exp_name = os.path.splitext(os.path.basename(__file__))[0]
@@ -16,11 +19,8 @@ if __name__ == "__main__":
     data_dir = sys.argv[1] if len(sys.argv) > 1 else "data/vocsbd"
 
     test_dataset = Spec("hyperseg_tpu.data.voc_sbd.VOCSBDDataset", (data_dir, "val"))
-    img_transforms = [Spec("hyperseg_tpu.data.seg_transforms.Resize", ([512, 512],))]
-    tensor_transforms = [
-        Spec("hyperseg_tpu.data.seg_transforms.ToArray"),
-        Spec("hyperseg_tpu.data.seg_transforms.Normalize"),
-    ]
+    img_transforms = [Spec(T + "ConstantPad", (512,), {"lbl_fill": 255})]
+    tensor_transforms = [Spec(T + "ToArray"), Spec(T + "Normalize")]
 
     os.makedirs(exp_dir, exist_ok=True)
     main(exp_dir, model=model, test_dataset=test_dataset,

@@ -1,10 +1,14 @@
-"""HyperSeg-S on Cityscapes (1536x768) — training config (mirrors the reference config of the same name)."""
+"""HyperSeg-S on Cityscapes (1536x768) — training config (mirrors the reference config of the same name,
+transform-for-transform; image-only transforms keep labels at native
+resolution exactly as the reference's torchvision transforms do)."""
 
 import os
 import sys
 
 from hyperseg_tpu.cli.train import main
 from hyperseg_tpu.core.registry import Spec
+
+T = "hyperseg_tpu.data.seg_transforms."
 
 if __name__ == "__main__":
     exp_name = os.path.splitext(os.path.basename(__file__))[0]
@@ -13,16 +17,16 @@ if __name__ == "__main__":
 
     train_dataset = Spec("hyperseg_tpu.data.cityscapes.CityscapesDataset", (data_dir, "train", "fine", "semantic"))
     val_dataset = Spec("hyperseg_tpu.data.cityscapes.CityscapesDataset", (data_dir, "val", "fine", "semantic"))
-    val_img_transforms = [Spec("hyperseg_tpu.data.seg_transforms.Resize", ([768, 1536],))]
+    val_img_transforms = [Spec(T + "ImageResize", ([768, 1536],))]
     train_img_transforms = [
-        Spec("hyperseg_tpu.data.seg_transforms.RandomResize", kwargs={"scale_range": (0.25, 2.0)}),
-        Spec("hyperseg_tpu.data.seg_transforms.RandomCrop", ([768, 1536],),
-             {"pad_if_needed": True, "lbl_fill": 255}),
-        Spec("hyperseg_tpu.data.seg_transforms.RandomHorizontalFlip"),
+        Spec(T + "RandomResize", kwargs={"scale_range": (0.375, 1.5)}),
+        Spec(T + "RandomCrop", ([768, 768],), {"pad_if_needed": True, "lbl_fill": 255}),
+        Spec(T + "RandomHorizontalFlip"),
+        Spec(T + "ColorJitter", (0.25, 0.25, 0.25, 0.25)),
     ]
     tensor_transforms = [
-        Spec("hyperseg_tpu.data.seg_transforms.ToArray"),
-        Spec("hyperseg_tpu.data.seg_transforms.Normalize",
+        Spec(T + "ToArray"),
+        Spec(T + "Normalize",
              kwargs={"mean": [0.485, 0.456, 0.406], "std": [0.229, 0.224, 0.225]}),
     ]
     epochs = 360

@@ -1,10 +1,14 @@
-"""HyperSeg-L on PASCAL VOC + SBD (512x512) — training config (mirrors the reference config of the same name)."""
+"""HyperSeg-L on PASCAL VOC + SBD (512x512) — training config (mirrors the reference config of the same name,
+transform-for-transform; image-only transforms keep labels at native
+resolution exactly as the reference's torchvision transforms do)."""
 
 import os
 import sys
 
 from hyperseg_tpu.cli.train import main
 from hyperseg_tpu.core.registry import Spec
+
+T = "hyperseg_tpu.data.seg_transforms."
 
 if __name__ == "__main__":
     exp_name = os.path.splitext(os.path.basename(__file__))[0]
@@ -13,21 +17,22 @@ if __name__ == "__main__":
 
     train_dataset = Spec("hyperseg_tpu.data.voc_sbd.VOCSBDDataset", (data_dir, "train_aug"))
     val_dataset = Spec("hyperseg_tpu.data.voc_sbd.VOCSBDDataset", (data_dir, "val"))
-    val_img_transforms = [Spec("hyperseg_tpu.data.seg_transforms.Resize", ([512, 512],))]
+    val_img_transforms = [Spec(T + "ConstantPad", (512,), {"lbl_fill": 255})]
     train_img_transforms = [
-        Spec("hyperseg_tpu.data.seg_transforms.RandomResize", kwargs={"scale_range": (0.25, 2.0)}),
-        Spec("hyperseg_tpu.data.seg_transforms.RandomCrop", ([512, 512],),
-             {"pad_if_needed": True, "lbl_fill": 255}),
-        Spec("hyperseg_tpu.data.seg_transforms.RandomHorizontalFlip"),
+        Spec(T + "RandomHorizontalFlip"),
+        Spec(T + "ColorJitter", (0.5, 0.5, 0.5, 0.5)),
+        Spec(T + "RandomResize", kwargs={"scale_range": (0.25, 0.9)}),
+        Spec(T + "RandomRotation", (30.0,)),
+        Spec(T + "ConstantPad", (512,), {"lbl_fill": 255}),
     ]
     tensor_transforms = [
-        Spec("hyperseg_tpu.data.seg_transforms.ToArray"),
-        Spec("hyperseg_tpu.data.seg_transforms.Normalize",
+        Spec(T + "ToArray"),
+        Spec(T + "Normalize",
              kwargs={"mean": [0.485, 0.456, 0.406], "std": [0.229, 0.224, 0.225]}),
     ]
     epochs = 160
-    train_iterations = None
-    batch_size = 16
+    train_iterations = 20000
+    batch_size = 32
     model = Spec("hyperseg_tpu.models.hyperseg_v0_1.hyperseg_efficientnet", ("efficientnet-b3",), dict(levels=3, kernel_sizes=(1, 1, 3, 3, 3, 3), expand_ratio=2, inference_hflip=True, with_out_fc=False, decoder_dropout=None, weight_groups=16))
 
     os.makedirs(exp_dir, exist_ok=True)

@@ -369,3 +369,61 @@ if __name__ == "__main__":
     p.add_argument("-o", "--out", default="transform_preview.png")
     a = p.parse_args()
     main(a.input_img, a.label_img, a.out)
+
+
+class ImageResize:
+    """Image-only (h, w) resize — the role torchvision's Resize plays in the
+    reference configs: because it is not a SegTransform, Compose applies it to
+    the image only and labels keep their native resolution; metrics then run
+    on full-resolution labels against upsampled logits (test.py:167-168)."""
+
+    def __init__(self, size, interpolation=BILINEAR):
+        self.size = size
+        self.interpolation = interpolation
+
+    def __call__(self, img):
+        return larger_edge_resize(img, self.size, self.interpolation)
+
+    def __repr__(self):
+        return f"ImageResize(size={self.size})"
+
+
+class ColorJitter:
+    """Image-only brightness/contrast/saturation/hue jitter (the torchvision
+    ColorJitter used by the reference configs), applied in random order with
+    factors uniform in [max(0, 1-v), 1+v] (hue: [-h, h])."""
+
+    def __init__(self, brightness=0, contrast=0, saturation=0, hue=0):
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+        self.hue = hue
+
+    def __call__(self, img):
+        from PIL import ImageEnhance
+        ops = []
+        if self.brightness:
+            f = random.uniform(max(0, 1 - self.brightness), 1 + self.brightness)
+            ops.append(lambda im: ImageEnhance.Brightness(im).enhance(f))
+        if self.contrast:
+            f2 = random.uniform(max(0, 1 - self.contrast), 1 + self.contrast)
+            ops.append(lambda im: ImageEnhance.Contrast(im).enhance(f2))
+        if self.saturation:
+            f3 = random.uniform(max(0, 1 - self.saturation), 1 + self.saturation)
+            ops.append(lambda im: ImageEnhance.Color(im).enhance(f3))
+        if self.hue:
+            shift = random.uniform(-self.hue, self.hue)
+
+            def hue_op(im, shift=shift):
+                h, s, v = im.convert("HSV").split()
+                h = h.point(lambda px: (px + int(shift * 255)) % 256)
+                return Image.merge("HSV", (h, s, v)).convert("RGB")
+            ops.append(hue_op)
+        random.shuffle(ops)
+        for op in ops:
+            img = op(img)
+        return img
+
+    def __repr__(self):
+        return (f"ColorJitter({self.brightness}, {self.contrast}, "
+                f"{self.saturation}, {self.hue})")

@@ -141,3 +141,19 @@ def test_loader_batching(tmp_path):
     assert len(batches) == 3
     assert batches[0]["image"].shape == (2, 32, 48, 3)
     assert batches[0]["label"].shape == (2, 32, 48)
+
+
+def test_image_resize_is_image_only():
+    img, lbl = make_pair(64, 48)
+    tf = T.Compose([T.ImageResize([24, 32]), T.ToArray()])
+    out_img, out_lbl = tf(img, lbl)
+    assert out_img.shape == (24, 32, 3)
+    assert out_lbl.shape == (48, 64)  # label untouched (reference protocol)
+
+
+def test_color_jitter_image_only():
+    img, lbl = make_pair()
+    tf = T.Compose([T.ColorJitter(0.5, 0.5, 0.5, 0.25), T.ToArray()])
+    out_img, out_lbl = tf(img, lbl)
+    assert out_img.shape == (48, 64, 3)
+    np.testing.assert_array_equal(out_lbl, np.array(lbl))
