@@ -73,7 +73,7 @@ def main(exp_dir, *, model, train_dataset, val_dataset=None,
                               shuffle=sampler is None, drop_last=True,
                               workers=workers, device_put=put)
     val_loader = (DataLoader(val_ds, batch_size=batch_size, workers=workers,
-                             drop_last=True, device_put=put)
+                             pad_last=True, device_put=put)
                   if val_ds is not None else None)
 
     # model (train.py:203-204): arch string stored for checkpoint rebuild

@@ -78,11 +78,16 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size=1, sampler=None, shuffle=False,
                  drop_last=False, workers=4, prefetch=2, seed=None,
-                 collate_fn=default_collate,
+                 collate_fn=default_collate, pad_last=False, pad_label=255,
                  device_put: Optional[Callable] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.drop_last = drop_last
+        # pad_last: fill the final partial batch with copies of its last
+        # sample whose labels are all `pad_label` (=ignore), so static batch
+        # shapes / sharding divisibility hold while metrics stay exact
+        self.pad_last = pad_last
+        self.pad_label = pad_label
         self.collate_fn = collate_fn
         self.device_put = device_put
         self.workers = max(1, workers)
@@ -114,6 +119,12 @@ class DataLoader:
                 with ThreadPoolExecutor(self.workers) as pool:
                     for batch_idx in self._batches():
                         samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                        if self.pad_last and len(samples) < self.batch_size:
+                            img, lbl = samples[-1]
+                            filler_lbl = np.full_like(np.asarray(lbl),
+                                                      self.pad_label)
+                            samples += [(img, filler_lbl)] * (
+                                self.batch_size - len(samples))
                         b = self.collate_fn(samples)
                         if self.device_put is not None:
                             b = self.device_put(b)

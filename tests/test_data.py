@@ -157,3 +157,15 @@ def test_color_jitter_image_only():
     out_img, out_lbl = tf(img, lbl)
     assert out_img.shape == (48, 64, 3)
     np.testing.assert_array_equal(out_lbl, np.array(lbl))
+
+
+def test_loader_pad_last(tmp_path):
+    from hyperseg_tpu.data.camvid import CamVidDataset
+    make_camvid_tree(tmp_path)
+    ds = CamVidDataset(str(tmp_path), "train",
+                       transforms=T.Compose([T.ToArray()]))
+    loader = DataLoader(ds, batch_size=2, pad_last=True)
+    batches = list(loader)  # 3 samples -> 2 batches, last padded
+    assert len(batches) == 2
+    assert batches[-1]["image"].shape[0] == 2
+    assert (batches[-1]["label"][1] == 255).all()
