@@ -172,6 +172,12 @@ def main(exp_dir, *, model, train_dataset, val_dataset=None,
                     img = denormalize(np.asarray(batch["image"][0]))
                     pred = np.asarray(out["preds"][0])
                     lbl = np.asarray(batch["label"][0])
+                    if img.shape[:2] != pred.shape[:2]:
+                        # image-only val resize: upscale the image for display
+                        from PIL import Image as PILImage
+                        pil = PILImage.fromarray((img * 255).astype(np.uint8))
+                        pil = pil.resize(pred.shape[:2][::-1])
+                        img = np.asarray(pil, np.float32) / 255.0
                     grid = make_grid(
                         img, blend_seg(img, pred, train_ds.color_map),
                         blend_seg(img, lbl, train_ds.color_map))
