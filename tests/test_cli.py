@@ -83,3 +83,37 @@ def test_train_eval_fps_roundtrip(tmp_path):
         str(exp_dir), test_dataset=val_spec, batch_size=2, forced=True,
         img_transforms=["hyperseg_tpu.data.seg_transforms.UpDownPyramids(1, 1)"])
     assert 0.0 <= miou_tta <= 1.0
+
+
+@pytest.mark.slow
+def test_train_with_image_only_val_resize(tmp_path):
+    """Reference eval protocol in the trainer: val images resized, labels at
+    native resolution, logits upsampled before metrics. (Images must stay
+    >= 64px high: the weight mapper's stride-64 level needs >= 1 row.)"""
+    from PIL import Image
+    from hyperseg_tpu.cli import train as train_cli
+
+    data_dir = tmp_path / "cs"
+    img_dir = data_dir / "leftImg8bit" / "val" / "cityA"
+    tgt_dir = data_dir / "gtFine" / "val" / "cityA"
+    os.makedirs(img_dir), os.makedirs(tgt_dir)
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray(rng.randint(0, 255, (128, 256, 3), np.uint8)).save(
+            img_dir / f"cityA_{i:06d}_leftImg8bit.png")
+        lab = np.zeros((128, 256), np.uint8)
+        lab[:64] = 7
+        lab[64:] = 26
+        Image.fromarray(lab).save(tgt_dir / f"cityA_{i:06d}_gtFine_labelIds.png")
+    exp_dir = tmp_path / "exp"
+    os.makedirs(exp_dir)
+
+    ds = f"hyperseg_tpu.data.cityscapes.CityscapesDataset({str(data_dir)!r}, 'val')"
+    best = train_cli.main(
+        str(exp_dir), model=TINY_ARCH, train_dataset=ds, val_dataset=ds,
+        train_img_transforms=[
+            "hyperseg_tpu.data.seg_transforms.Resize([64, 128])"],
+        val_img_transforms=[
+            "hyperseg_tpu.data.seg_transforms.ImageResize([64, 128])"],
+        epochs=1, train_iterations=2, batch_size=2, workers=2, log_every=1)
+    assert 0.0 <= best <= 1.0
