@@ -24,6 +24,14 @@ def make_mesh(n_data: Optional[int] = None, n_spatial: int = 1,
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_spatial
+    if len(devices) < n_data * n_spatial:
+        raise ValueError(
+            f"make_mesh needs {n_data * n_spatial} devices "
+            f"({n_data} data x {n_spatial} spatial) but jax sees only "
+            f"{len(devices)} on '{jax.default_backend()}'. For virtual CPU "
+            "devices set JAX_PLATFORMS=cpu and add "
+            "--xla_force_host_platform_device_count=<n> to XLA_FLAGS before "
+            "the first jax backend use (see tests/conftest.py).")
     devices = np.array(devices[:n_data * n_spatial]).reshape(n_data, n_spatial)
     return Mesh(devices, ("data", "spatial"))
 
