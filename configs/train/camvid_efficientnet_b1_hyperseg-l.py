@@ -31,7 +31,7 @@ if __name__ == "__main__":
     epochs = 120
     train_iterations = 2000
     batch_size = 16
-    model = Spec("hyperseg_tpu.models.hyperseg_v1_0.hyperseg_efficientnet", ("efficientnet-b1",), dict(levels=2, kernel_sizes=(1, 1, 1, 3, 3, 3), level_channels=[64, 32, 16, 16, 16, 16], expand_ratio=2, inference_hflip=True, with_out_fc=False, decoder_dropout=None, weight_groups=[64, 32, 32, 16, 8, 8], coords_res=[(768, 768), (768, 1024)]))
+    model = Spec("hyperseg_tpu.models.hyperseg_v1_0.hyperseg_efficientnet", ("efficientnet-b1",), dict(pretrained=True, levels=2, kernel_sizes=(1, 1, 1, 3, 3, 3), level_channels=[64, 32, 16, 16, 16, 16], expand_ratio=2, inference_hflip=True, with_out_fc=False, decoder_dropout=None, weight_groups=[64, 32, 32, 16, 8, 8], coords_res=[(768, 768), (768, 1024)]))
 
     os.makedirs(exp_dir, exist_ok=True)
     main(exp_dir, model=model, train_dataset=train_dataset, val_dataset=val_dataset,

@@ -32,7 +32,7 @@ if __name__ == "__main__":
     epochs = 360
     train_iterations = 4000
     batch_size = 16
-    model = Spec("hyperseg_tpu.models.hyperseg_v1_0_unify.hyperseg_efficientnet", ("efficientnet-b1",), dict(levels=2, out_feat_scale=[1.0, 0.166, 0.2, 0.25, 0.4], kernel_sizes=[1, 1, 1, 3, 3], level_channels=[32, 16, 8, 8, 8], expand_ratio=2, with_out_fc=False, decoder_dropout=None, weight_groups=[32, 16, 8, 16, 4], decoder_groups=1, inference_hflip=True, unify_level=4, coords_res=[(768, 768), (768, 1536)]))
+    model = Spec("hyperseg_tpu.models.hyperseg_v1_0_unify.hyperseg_efficientnet", ("efficientnet-b1",), dict(pretrained=True, levels=2, out_feat_scale=[1.0, 0.166, 0.2, 0.25, 0.4], kernel_sizes=[1, 1, 1, 3, 3], level_channels=[32, 16, 8, 8, 8], expand_ratio=2, with_out_fc=False, decoder_dropout=None, weight_groups=[32, 16, 8, 16, 4], decoder_groups=1, inference_hflip=True, unify_level=4, coords_res=[(768, 768), (768, 1536)]))
 
     os.makedirs(exp_dir, exist_ok=True)
     main(exp_dir, model=model, train_dataset=train_dataset, val_dataset=val_dataset,

@@ -33,7 +33,7 @@ if __name__ == "__main__":
     epochs = 160
     train_iterations = 20000
     batch_size = 32
-    model = Spec("hyperseg_tpu.models.hyperseg_v0_1.hyperseg_efficientnet", ("efficientnet-b3",), dict(levels=3, kernel_sizes=(1, 1, 3, 3, 3, 3), expand_ratio=2, inference_hflip=True, with_out_fc=False, decoder_dropout=None, weight_groups=16))
+    model = Spec("hyperseg_tpu.models.hyperseg_v0_1.hyperseg_efficientnet", ("efficientnet-b3",), dict(pretrained=True, levels=3, kernel_sizes=(1, 1, 3, 3, 3, 3), expand_ratio=2, inference_hflip=True, with_out_fc=False, decoder_dropout=None, weight_groups=16))
 
     os.makedirs(exp_dir, exist_ok=True)
     main(exp_dir, model=model, train_dataset=train_dataset, val_dataset=val_dataset,

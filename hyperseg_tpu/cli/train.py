@@ -79,7 +79,12 @@ def main(exp_dir, *, model, train_dataset, val_dataset=None,
     # model (train.py:203-204): arch string stored for checkpoint rebuild
     num_classes = len(train_ds.classes)
     arch = C.arch_string(model, num_classes=num_classes)
-    model_obj = registry.build(model, num_classes=num_classes)
+    build_kw = dict(num_classes=num_classes)
+    if pretrained:
+        # ImageNet backbone init (resolves a local .pth or downloads;
+        # raises when unsatisfiable — see backbones/pretrained.py)
+        build_kw["pretrained"] = pretrained
+    model_obj = registry.build(model, **build_kw)
     params = model_obj.init(rng)
     if pretrained_weights:
         loaded, _ = C.load_params(pretrained_weights)

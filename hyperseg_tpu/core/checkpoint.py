@@ -79,6 +79,10 @@ def load_model(path: str, *, arch: Optional[str] = None, dtype=jnp.float32,
     if arch is None:
         raise ValueError(f"checkpoint {path} has no arch string; pass arch=")
     spec = registry.parse_spec(arch) if isinstance(arch, str) else arch
+    if spec.kwargs.get("pretrained"):
+        # the checkpoint's own parameters supersede ImageNet init; don't
+        # require (or fetch) backbone weights just to overwrite them
+        spec = spec.with_overrides(pretrained=False)
     if arch_overrides:
         spec = spec.with_overrides(**arch_overrides)
     model = spec.build()

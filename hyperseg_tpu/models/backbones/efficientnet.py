@@ -258,6 +258,19 @@ class EfficientNet:
                 next(keys), (self.head_ch, self.num_classes), jnp.float32, -bound, bound)
             params["_fc.bias"] = jax.random.uniform(
                 next(keys), (self.num_classes,), jnp.float32, -bound, bound)
+        # efficientnet(pretrained=...) stages ImageNet weights here; strict
+        # load, load_fc=False semantics (efficientnet_utils.py:669-674)
+        staged = getattr(self, "_pretrained_backbone", None)
+        if staged:
+            bad = [k for k, v in staged.items()
+                   if k not in params or params[k].shape != v.shape]
+            if bad:
+                raise RuntimeError(
+                    f"pretrained checkpoint does not match "
+                    f"'{self.model_name}': {len(bad)} unmatched keys, "
+                    f"e.g. {bad[:3]}")
+            params.update(staged)
+            print(f"=> loaded {len(staged)} ImageNet tensors")
         return params
 
     # -- forward ------------------------------------------------------------
@@ -358,9 +371,14 @@ class EfficientNet:
 def efficientnet(model_name, pretrained=False, weights_path=None, **kwargs):
     """Factory mirroring the reference entry point (efficientnet.py:493-502).
 
-    `pretrained` requires a local `.pth` via `weights_path` converted through
-    hyperseg_tpu.core.torch_import (this environment has no network egress)."""
+    `pretrained=True` (or a path) resolves ImageNet weights and stages them
+    for init(); raises when no checkpoint can be obtained — never a silent
+    random init (see backbones/pretrained.py)."""
     model = EfficientNet(model_name, **kwargs)
+    if pretrained or weights_path:
+        from hyperseg_tpu.models.backbones.pretrained import (
+            stage_pretrained_backbone)
+        stage_pretrained_backbone(model, model_name, weights_path or pretrained)
     return model
 
 

@@ -41,6 +41,19 @@ class HyperGen:
         params.update({f"backbone.{k}": v for k, v in bp.items()})
         self.weight_mapper.init(kw, params)
         self.decoder.init(kd, params)
+        # factories built with pretrained=True stage ImageNet backbone
+        # weights here; the load is strict (reference load_pretrained_weights
+        # asserts only _fc.* may be missing, efficientnet_utils.py:669-674)
+        backbone_pre = getattr(self, "_pretrained_backbone", None)
+        if backbone_pre:
+            bad = [k for k, v in backbone_pre.items()
+                   if k not in params or params[k].shape != v.shape]
+            if bad:
+                raise RuntimeError(
+                    f"pretrained backbone checkpoint does not match this "
+                    f"architecture: {len(bad)} unmatched keys, e.g. {bad[:3]}")
+            params.update(backbone_pre)
+            print(f"=> loaded {len(backbone_pre)} ImageNet backbone tensors")
         # factories built with weights_path= stage converted checkpoint
         # parameters here; shape-matching tensors override the random init
         loaded = getattr(self, "_pretrained_params", None)

@@ -47,6 +47,10 @@ def hyperseg_efficientnet(model_name, pretrained=False, levels=3,
     model = build_hypergen(backbone, wm_levels=levels, down_groups=down_groups,
                            flat_groups=flat_groups, weight_groups=weight_groups,
                            avg_pool=avg_pool, **kwargs)
+    if pretrained and weights_path is None:
+        from hyperseg_tpu.models.backbones.pretrained import (
+            stage_pretrained_backbone)
+        stage_pretrained_backbone(model, model_name, pretrained)
     if weights_path is not None:
         from hyperseg_tpu.core import checkpoint as ckpt
         model._pretrained_params, _ = ckpt.load_params(weights_path)

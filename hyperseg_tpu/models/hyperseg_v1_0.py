@@ -43,11 +43,17 @@ def hyperseg_efficientnet(model_name, pretrained=False, out_feat_scale=0.25,
     """Factory mirroring hyperseg_v1_0.hyperseg_efficientnet (:813-827).
 
     `levels` is the weight-mapper pyramid depth. `weights_path` loads a
-    converted reference checkpoint (use core.torch_import for .pth files)."""
+    converted reference checkpoint (use core.torch_import for .pth files).
+    `pretrained` (bool or local path) initializes the backbone from ImageNet
+    weights at init(); raises if unsatisfiable (backbones/pretrained.py)."""
     backbone = EfficientNet(model_name, out_feat_scale=out_feat_scale,
                             head=None, return_features=True,
                             remat=backbone_remat)
     model = build_hypergen(backbone, wm_levels=levels, **kwargs)
+    if pretrained and weights_path is None:
+        from hyperseg_tpu.models.backbones.pretrained import (
+            stage_pretrained_backbone)
+        stage_pretrained_backbone(model, model_name, pretrained)
     if weights_path is not None:
         from hyperseg_tpu.core import checkpoint as ckpt
         model._pretrained_params, _ = ckpt.load_params(weights_path)

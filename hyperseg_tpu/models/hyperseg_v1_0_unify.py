@@ -41,6 +41,10 @@ def hyperseg_efficientnet(model_name, pretrained=False, out_feat_scale=0.25,
                             head=None, return_features=True,
                             remat=backbone_remat)
     model = build_hypergen(backbone, wm_levels=levels, **kwargs)
+    if pretrained and weights_path is None:
+        from hyperseg_tpu.models.backbones.pretrained import (
+            stage_pretrained_backbone)
+        stage_pretrained_backbone(model, model_name, pretrained)
     if weights_path is not None:
         from hyperseg_tpu.core import checkpoint as ckpt
         model._pretrained_params, _ = ckpt.load_params(weights_path)

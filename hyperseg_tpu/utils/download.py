@@ -1,0 +1,52 @@
+"""Minimal URL fetch with graceful offline behavior.
+
+The reference downloads pretrained backbones and datasets on demand
+(efficientnet_utils.py:643-674, voc_sbd.py:102-138). This environment may
+have no network egress, so every fetch here is best-effort: callers get a
+bool and decide whether missing data is fatal (pretrained weights: yes;
+dataset bootstrap: no, skip cleanly).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import urllib.request
+
+
+def download_url(url: str, dest: str, *, timeout: float = 30.0,
+                 progress: bool = True) -> bool:
+    """Fetch `url` to `dest` atomically. Returns False on any network error
+    (offline environments must not crash the caller); raises only on local
+    filesystem errors."""
+    if os.path.isfile(dest):
+        return True
+    os.makedirs(os.path.dirname(os.path.abspath(dest)), exist_ok=True)
+    tmp_fd, tmp_path = tempfile.mkstemp(dir=os.path.dirname(
+        os.path.abspath(dest)), suffix=".part")
+    os.close(tmp_fd)
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as r, \
+                open(tmp_path, "wb") as f:
+            total = int(r.headers.get("Content-Length") or 0)
+            done = 0
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+                done += len(chunk)
+                if progress and total:
+                    print(f"\r  {os.path.basename(dest)}: "
+                          f"{done / 1e6:.1f}/{total / 1e6:.1f} MB", end="")
+        if progress:
+            print()
+        shutil.move(tmp_path, dest)
+        return True
+    except (OSError, ValueError) as e:  # URLError subclasses OSError
+        print(f"=> download failed ({url}): {e}")
+        return False
+    finally:
+        if os.path.exists(tmp_path):
+            os.unlink(tmp_path)
