@@ -26,6 +26,9 @@ def pad_to_multiple(x: np.ndarray, multiple: int = 32, mode: str = "reflect"):
     wp = -(-w // multiple) * multiple
     if (hp, wp) == (h, w):
         return x, (h, w)
+    if mode == "reflect" and (hp - h >= h or wp - w >= w):
+        # np.pad reflect requires pad < dim; tiny inputs fall back to edge
+        mode = "edge"
     return np.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
                   mode=mode), (h, w)
 
@@ -41,7 +44,10 @@ class Predictor:
                  max_cache: int = 16):
         self.model = model
         self.dtype = dtype
-        self.multiple = multiple
+        # the weight mapper downsamples its stride-32 input levels-1 more
+        # times; pad far enough that every pyramid level stays >= 1 px
+        wm_levels = getattr(getattr(model, "weight_mapper", None), "levels", 1)
+        self.multiple = max(multiple, 32 * 2 ** max(wm_levels - 1, 0))
         self.max_cache = max_cache
         self.params = jax.tree.map(
             lambda a: a.astype(dtype) if a.dtype == jnp.float32 and a.ndim >= 2

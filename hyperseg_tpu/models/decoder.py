@@ -304,6 +304,12 @@ class MultiScaleDecoderV1:
     excluding head). Levels run coarsest->finest; level ℓ consumes the
     upsampled previous output concat the level's feature concat a 2-channel
     coordinate grid, through one or more hyper units.
+
+    `coords_res` is accepted for arch-string parity but is intentionally a
+    no-op: the reference pre-registers coordinate-grid buffers for these
+    resolutions purely as a runtime cache (hyperseg_v1_0.py:189-213); here
+    coordinates are trace-time constants baked into the jitted program, so
+    every resolution is "cached" by construction.
     """
 
     def __init__(self, feat_channels, signal_channels, num_classes=3,
@@ -419,6 +425,10 @@ class MultiScaleDecoderV1:
                 base += u.hyper_params
 
         for u in self.out_fc_units:
+            # reference out_fc = MetaSequential(Dropout2d(dropout), conv)
+            # (hyperseg_v1_0.py:166-171) — train-mode only
+            if self.dropout and ctx is not None and ctx.train:
+                p = F.dropout2d(p, self.dropout, ctx.next_rng(9100))
             w = apply_signal2weights(params, s, u.s2w)
             p = u.apply(params, p, w, ctx)
 
@@ -451,6 +461,7 @@ class MultiScaleDecoderV0:
         self.remat = remat
         self.prefix = prefix
         self.num_classes = num_classes
+        self.dropout = dropout
         rev_feats = list(feat_channels[::-1])
 
         self.level_units: List[List[Unit]] = []
@@ -520,6 +531,9 @@ class MultiScaleDecoderV0:
                 base += u.hyper_params
 
         for u in self.out_fc_units:
+            # reference out_fc dropout (hyperseg_v0_1.py:152), train-mode only
+            if self.dropout and ctx is not None and ctx.train:
+                p = F.dropout2d(p, self.dropout, ctx.next_rng(9100))
             base = 0
             p = u.apply(params, p, weights[-1][..., base:base + u.hyper_params],
                         ctx)
@@ -584,6 +598,9 @@ class MultiScaleDecoderUnify:
                 prev = out_ngf
             self.level_units.append(units)
 
+        # no shipped config uses out_fc here; dropout only acts inside the
+        # reference's out_fc (hyperseg_v1_0_unify.py:180-186), so without it
+        # dropout is a no-op in the reference too
         assert not with_out_fc, "unify decoder with out_fc is not used by any config"
         self.out_fc_units: List[Unit] = []
 

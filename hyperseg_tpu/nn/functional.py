@@ -166,6 +166,17 @@ def batch_norm_train(x, scale, bias, mean, var, *, eps=1e-5, momentum=0.1,
     return y, new_mean, new_var
 
 
+def dropout2d(x, p, rng):
+    """Channel-wise dropout on NHWC maps — torch nn.Dropout2d semantics
+    (zero whole channels per sample, scale survivors by 1/(1-p)). Identity
+    when p is falsy or no rng is available (eval)."""
+    if not p or rng is None:
+        return x
+    keep = 1.0 - p
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, 1, x.shape[-1]))
+    return jnp.where(mask, x / keep, jnp.zeros((), x.dtype))
+
+
 class Ctx:
     """Forward-pass context: train/eval switch, RNG, and collected state
     updates (BN running stats). Pure-functional: `updates` is filled with

@@ -60,17 +60,29 @@ def eval_scores_from_confmat(hist, eps=1e-6):
     return global_acc, class_acc, class_iou
 
 
-def per_image_jaccard(labels, preds, num_classes: int, ignore_index=0):
-    """Per-image mean IoU used to rank best/worst eval images
-    (test.py:219-227): drops `ignore_index` (background by default) and
-    classes with empty union."""
-    ious = []
-    for c in range(num_classes):
-        if c == ignore_index:
-            continue
-        li, pi = labels == c, preds == c
-        union = np.logical_or(li, pi).sum()
-        if union == 0:
-            continue
-        ious.append(np.logical_and(li, pi).sum() / union)
-    return float(np.mean(ious)) if ious else 0.0
+def per_image_jaccard(labels, preds, num_classes: int, ignore_index=0,
+                      eps=1e-6):
+    """Per-image mean IoU used to rank best/worst eval images — exact
+    reference semantics (test.py:210-227): the confusion matrix only counts
+    pixels whose *label* is a valid class (0 <= l < num_classes and
+    l != ignore_index), so predictions at void/255 pixels never enter any
+    class union; the ignore_index union is zeroed; classes with empty union
+    are dropped from the mean."""
+    labels = np.asarray(labels).ravel()
+    preds = np.asarray(preds).ravel()
+    mask = (labels >= 0) & (labels < num_classes)
+    if ignore_index is not None and 0 <= ignore_index < num_classes:
+        mask &= labels != ignore_index
+    inds = num_classes * labels[mask].astype(np.int64) + preds[mask]
+    confmat = np.bincount(inds, minlength=num_classes ** 2).reshape(
+        num_classes, num_classes)
+    inter = np.diag(confmat)
+    union = confmat.sum(1) + confmat.sum(0) - inter
+    if ignore_index is not None and 0 <= ignore_index < num_classes:
+        union = union.copy()
+        union[ignore_index] = 0
+    score = inter / (union + eps)
+    sel = score[union > 0]
+    # all-empty unions: reference torch.mean of an empty tensor is nan;
+    # return 0.0 so scores.npz stays finite
+    return float(sel.mean()) if sel.size else 0.0

@@ -136,7 +136,7 @@ def test_per_image_jaccard_matches_reference():
     target = rng.randint(0, num_classes, (16, 16))
     pred = rng.randint(0, num_classes, (16, 16))
 
-    mask = (target >= 0) & (target < num_classes)
+    mask = (target >= 0) & (target < num_classes) & (target != ignore)
     inds = num_classes * target[mask] + pred[mask]
     cm = np.bincount(inds, minlength=num_classes ** 2).reshape(num_classes,
                                                                num_classes)
@@ -148,3 +148,20 @@ def test_per_image_jaccard_matches_reference():
 
     got = M.per_image_jaccard(target, pred, num_classes, ignore_index=ignore)
     np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+def test_per_image_jaccard_void_pixels_excluded():
+    """Predictions at void (255) label pixels must not enter any class union
+    (reference calc_conf_mat masks target>=num_classes, test.py:211); an
+    all-void image scores 0 without blowing up."""
+    num_classes = 3
+    target = np.full((8, 8), 255, np.int64)
+    target[0, :4] = 1
+    pred = np.full((8, 8), 2, np.int64)  # wrong everywhere, incl. void pixels
+    pred[0, :4] = 1                      # right on the 4 valid pixels
+    # only the 4 valid pixels count: class 1 IoU = 1.0; class 2 union
+    # would be 60 if void pixels leaked in -> score would drop to 0.5
+    got = M.per_image_jaccard(target, pred, num_classes, ignore_index=0)
+    np.testing.assert_allclose(got, 1.0, rtol=1e-5)
+    assert M.per_image_jaccard(np.full((4, 4), 255), np.zeros((4, 4), int),
+                               num_classes, ignore_index=0) == 0.0
