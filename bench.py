@@ -49,6 +49,15 @@ def main():
 
     model = V1.hyperseg_efficientnet("efficientnet-b1", **HYPERSEG_M_KW)
     params = model.init(jax.random.PRNGKey(0))
+    # Pin the benchmarked model to the exact config the parity suite
+    # validates (tests/test_hyperseg_v1_0.py uses the same kwargs): a drifted
+    # kwarg would silently benchmark the wrong architecture otherwise.
+    from hyperseg_tpu.utils.profile import count_params
+    got = count_params(params)
+    expected = (10378108, 10311214)
+    assert got == expected, (
+        f"benchmark model param count {got} != parity-tested HyperSeg-M "
+        f"{expected}; HYPERSEG_M_KW drifted from the validated config")
     params = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
                           if a.dtype == jnp.float32 and a.ndim >= 2 else a, params)
 

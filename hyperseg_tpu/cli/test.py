@@ -41,7 +41,7 @@ def main(exp_dir, *, model=None, arch=None, test_dataset=None,
          img_transforms=None, tensor_transforms=DEFAULT_TENSOR_TRANSFORMS,
          batch_size=4, workers=4, forced=False, compute_dtype="float32",
          display_worst=0, display_best=0, display_alpha=0.5,
-         display_background_index=0, out_dir=None):
+         display_background_index=0, display_sources=None, out_dir=None):
     assert os.path.isdir(exp_dir), f'exp_dir "{exp_dir}" must be a directory'
     if model is None:
         for cand in ("model_best.npz", "model_best.pth"):
@@ -124,7 +124,19 @@ def main(exp_dir, *, model=None, arch=None, test_dataset=None,
             subsets.append(("worst", order[:display_worst]))
         if display_best:
             subsets.append(("best", order[-display_best:]))
+        from glob import glob
         from PIL import Image
+        # display_sources: directories of label-index PNGs (e.g. another
+        # model's saved predictions), one per dataset item; each becomes an
+        # extra blended column between the input and the prediction
+        # (test.py:260-285)
+        source_paths = []
+        for d in display_sources or []:
+            paths = sorted(glob(os.path.join(d, "*.png")))
+            assert len(paths) == len(test_ds), (
+                "all display sources must be directories with the same "
+                "number of images as the dataset")
+            source_paths.append(np.array(paths))
         for tag, idxs in subsets:
             rows = []
             for idx in idxs:
@@ -136,8 +148,19 @@ def main(exp_dir, *, model=None, arch=None, test_dataset=None,
                     "label": jnp.asarray(lbl, jnp.int32)[None]})
                 pred = np.asarray(out["preds"])[0]
                 base = denormalize(np.asarray(img))
+                src_cols = []
+                for paths in source_paths:
+                    src = np.array(Image.open(paths[int(idx)]))
+                    pad_h = max(0, base.shape[0] - src.shape[0])
+                    pad_w = max(0, base.shape[1] - src.shape[1])
+                    if pad_h or pad_w:  # pad right/bottom like the reference
+                        src = np.pad(src, ((0, pad_h), (0, pad_w)))
+                    src = src[:base.shape[0], :base.shape[1]]
+                    src_cols.append(blend_seg(
+                        base, src, test_ds.color_map, display_alpha,
+                        ignore_index=display_background_index))
                 rows.append(make_grid(
-                    base,
+                    base, *src_cols,
                     blend_seg(base, pred, test_ds.color_map, display_alpha,
                               ignore_index=display_background_index),
                     blend_seg(base, lbl, test_ds.color_map, display_alpha,
@@ -165,13 +188,16 @@ def cli():
     p.add_argument("-f", "--forced", action="store_true")
     p.add_argument("-dw", "--display_worst", type=int, default=0)
     p.add_argument("-db", "--display_best", type=int, default=0)
+    p.add_argument("-ds", "--display_sources", nargs="+",
+                   help="directories of label-index PNGs to blend as extra "
+                        "comparison columns (one image per dataset item)")
     p.add_argument("--compute_dtype", default="float32")
     a = p.parse_args()
     main(a.exp_dir, model=a.model, arch=a.arch, test_dataset=a.test_dataset,
          img_transforms=a.img_transforms, tensor_transforms=a.tensor_transforms,
          batch_size=a.batch_size, workers=a.workers, forced=a.forced,
          display_worst=a.display_worst, display_best=a.display_best,
-         compute_dtype=a.compute_dtype)
+         display_sources=a.display_sources, compute_dtype=a.compute_dtype)
 
 
 if __name__ == "__main__":

@@ -2,10 +2,10 @@
 
 Behavior parity with hyperseg/datasets/voc_sbd.py: (image, mask) pair-list
 files under VOCdevkit/VOC2012, the VOC color map, per-image class-histogram
-cache with rarity weights, and local-archive extraction. This environment has
-no network egress, so missing archives raise instead of downloading (the
-reference would download from host.robots.ox.ac.uk / cs.jhu.edu,
-voc_sbd.py:102-138)."""
+cache with rarity weights, and archive download+extraction (reference
+voc_sbd.py:102-138 fetches from host.robots.ox.ac.uk / cs.jhu.edu). Downloads
+are best-effort: offline environments skip cleanly and the dataset raises a
+descriptive error only when the pair list ultimately cannot be found."""
 
 from __future__ import annotations
 
@@ -27,20 +27,32 @@ COLOR_MAP = np.array([
     (192, 128, 0), (64, 0, 128), (192, 0, 128), (64, 128, 128), (192, 128, 128),
     (0, 64, 0), (128, 64, 0), (0, 192, 0), (128, 192, 0), (0, 64, 128)])
 
+VOC_URL = "http://host.robots.ox.ac.uk/pascal/VOC/voc2012/VOCtrainval_11-May-2012.tar"
+SBD_URL = "http://cs.jhu.edu/~cxliu/data/SegmentationClassAug_Visualization.zip"
+SBD_SPLITS_URL = "http://cs.jhu.edu/~cxliu/data/list.zip"
 VOC_TAR = "VOCtrainval_11-May-2012.tar"
 SBD_ZIP = "SegmentationClassAug_Visualization.zip"
 SBD_SPLITS_ZIP = "list.zip"
 
 
-def extract_local_archives(root):
-    """Extract locally present archives (no downloads in this environment)."""
+def extract_local_archives(root, download=True):
+    """Download (best-effort) then extract the VOC/SBD archives.
+
+    Mirrors reference download_extract (voc_sbd.py:102-138); downloads skip
+    gracefully offline so a locally staged archive set still works."""
+    from hyperseg_tpu.utils.download import download_url
     voc_dir = os.path.join(root, "VOCdevkit", "VOC2012")
     tar_path = os.path.join(root, VOC_TAR)
+    if not os.path.isdir(voc_dir) and not os.path.isfile(tar_path) and download:
+        download_url(VOC_URL, tar_path)
     if not os.path.isdir(voc_dir) and os.path.isfile(tar_path):
         with tarfile.open(tar_path) as tar:
             tar.extractall(path=root)
     sbd_dir = os.path.join(voc_dir, "SegmentationClassAug")
     zip_path = os.path.join(root, SBD_ZIP)
+    if (os.path.isdir(voc_dir) and not os.path.isdir(sbd_dir)
+            and not os.path.isfile(zip_path) and download):
+        download_url(SBD_URL, zip_path)
     if not os.path.isdir(sbd_dir) and os.path.isfile(zip_path):
         with ZipFile(zip_path) as z:
             z.extractall(voc_dir)
@@ -49,6 +61,9 @@ def extract_local_archives(root):
             os.rename(tmp, sbd_dir)
     train_list = os.path.join(voc_dir, "train.txt")
     splits_path = os.path.join(root, SBD_SPLITS_ZIP)
+    if (os.path.isdir(voc_dir) and not os.path.isfile(train_list)
+            and not os.path.isfile(splits_path) and download):
+        download_url(SBD_SPLITS_URL, splits_path)
     if not os.path.isfile(train_list) and os.path.isfile(splits_path):
         with ZipFile(splits_path) as z:
             z.extractall(voc_dir)
@@ -69,9 +84,9 @@ class VOCSBDDataset(SegDataset):
         path = pair_list if os.path.isfile(pair_list) else os.path.join(voc_root, pair_list)
         if not os.path.isfile(path):
             raise RuntimeError(
-                f"VOC+SBD pair list not found: {path!r}. Place the VOC/SBD "
-                f"archives ({VOC_TAR}, {SBD_ZIP}, {SBD_SPLITS_ZIP}) under "
-                f"{root!r}; this environment cannot download them.")
+                f"VOC+SBD pair list not found: {path!r}. Auto-download was "
+                f"attempted but failed (offline?); place the VOC/SBD archives "
+                f"({VOC_TAR}, {SBD_ZIP}, {SBD_SPLITS_ZIP}) under {root!r}.")
         rel = np.loadtxt(path, dtype=str)
         absolute = np.char.add(voc_root, rel)
         if absolute.ndim > 1:

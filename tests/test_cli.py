@@ -117,3 +117,49 @@ def test_train_with_image_only_val_resize(tmp_path):
             "hyperseg_tpu.data.seg_transforms.ImageResize([64, 128])"],
         epochs=1, train_iterations=2, batch_size=2, workers=2, log_every=1)
     assert 0.0 <= best <= 1.0
+
+
+@pytest.mark.slow
+def test_reference_scores_cache_and_display_sources(tmp_path):
+    """Eval CLI consumes a reference-written scores.npz verbatim (same keys/
+    dtypes as test.py:176-188, incl. 0-d global_acc) and renders
+    display_sources columns (test.py:260-285)."""
+    import jax
+    from hyperseg_tpu.cli import test as test_cli
+    from hyperseg_tpu.core import checkpoint as C
+    from hyperseg_tpu.core import registry
+
+    data_dir = tmp_path / "camvid"
+    exp_dir = tmp_path / "exp"
+    os.makedirs(exp_dir / "test")
+    make_camvid(data_dir)
+    val_spec = f"hyperseg_tpu.data.camvid.CamVidDataset({str(data_dir)!r}, 'val')"
+
+    # checkpoint from a fresh init (no training needed for the cache path)
+    arch = TINY_ARCH[:-1] + ", num_classes=12)"
+    model = registry.build(arch)
+    params = model.init(jax.random.PRNGKey(0))
+    C.save_checkpoint(str(exp_dir), "model", params,
+                      meta={"arch": arch}, is_best=True)
+
+    # a scores.npz exactly as the torch reference writes it
+    ref_ious = np.random.RandomState(1).rand(4)
+    ref_iou = np.linspace(0.1, 0.9, 12)
+    np.savez(exp_dir / "test" / "scores.npz", ious=ref_ious,
+             global_acc=0.5, class_acc=np.full(12, 0.5), class_iou=ref_iou)
+
+    # display sources: one label-index png per dataset item, half-size to
+    # exercise the pad-to-input path
+    src_dir = tmp_path / "othermodel"
+    os.makedirs(src_dir)
+    for i in range(4):
+        Image.fromarray(np.full((32, 48), 3, np.uint8)).save(src_dir / f"f{i}.png")
+
+    miou = test_cli.main(str(exp_dir), test_dataset=val_spec, batch_size=2,
+                         display_best=1, display_worst=1,
+                         display_sources=[str(src_dir)])
+    assert miou == pytest.approx(float(np.mean(ref_iou)))  # cache was used
+    for tag in ("best", "worst"):
+        g = np.array(Image.open(exp_dir / "test" / f"{tag}.png"))
+        # input + source + pred + gt columns (plus inter-column padding)
+        assert 96 * 4 <= g.shape[1] < 96 * 5

@@ -169,3 +169,46 @@ def test_loader_pad_last(tmp_path):
     assert len(batches) == 2
     assert batches[-1]["image"].shape[0] == 2
     assert (batches[-1]["label"][1] == 255).all()
+
+
+def test_voc_sbd_dataset(tmp_path, monkeypatch):
+    """VOC+SBD on a synthetic VOCdevkit tree; auto-download is attempted for
+    missing archives (reference voc_sbd.py:102-138) but skips gracefully
+    offline, and a still-missing pair list raises a descriptive error."""
+    from hyperseg_tpu.data import voc_sbd
+
+    attempted = []
+    monkeypatch.setattr("hyperseg_tpu.utils.download.download_url",
+                        lambda url, dest, **kw: (attempted.append(url), False)[1])
+
+    # empty root: downloads attempted (and refused), pair list missing -> raise
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="pair list not found"):
+        voc_sbd.VOCSBDDataset(str(tmp_path), "val.txt")
+    assert voc_sbd.VOC_URL in attempted
+
+    # staged tree: no downloads needed, dataset works end to end
+    voc_root = tmp_path / "VOCdevkit" / "VOC2012"
+    img_dir = voc_root / "JPEGImages"
+    seg_dir = voc_root / "SegmentationClassAug"
+    os.makedirs(img_dir), os.makedirs(seg_dir)
+    rng = np.random.RandomState(3)
+    lines = []
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (32, 48, 3), np.uint8)).save(
+            img_dir / f"img{i}.jpg")
+        lab = np.zeros((32, 48), np.uint8)
+        lab[:16] = 1 + i
+        Image.fromarray(lab).save(seg_dir / f"img{i}.png")
+        lines.append(f"/JPEGImages/img{i}.jpg /SegmentationClassAug/img{i}.png")
+    (voc_root / "val.txt").write_text("\n".join(lines) + "\n")
+
+    ds = voc_sbd.VOCSBDDataset(str(tmp_path), "val.txt",
+                               transforms=T.Compose([T.ToArray()]))
+    assert len(ds) == 3 and len(ds.classes) == 21
+    img, lbl = ds[1]
+    assert img.shape == (32, 48, 3) and lbl.dtype == np.int32
+    assert lbl[0, 0] == 2 and lbl[31, 0] == 0
+    assert ds.color_map.shape == (21, 3)
+    # rarity weights: every image has a unique rare class -> all equal-ish
+    assert ds.weights.shape == (3,) and np.all(ds.weights > 0)
