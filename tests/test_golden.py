@@ -39,3 +39,39 @@ def test_golden_logits_parity():
     # was recorded, so both sides compute from identical values; observed
     # max deviation is ~1.5e-3 at output std ~5.5
     np.testing.assert_allclose(got, want, atol=1e-2)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", [
+    "hyperseg_m_cityscapes", "hyperseg_s_cityscapes", "hyperseg_s_camvid",
+    "hyperseg_l_camvid", "hyperseg_l_voc"])
+def test_config_golden(name):
+    """Full-config logits parity against committed reference outputs at the
+    benchmark resolutions — runs WITHOUT the torch oracle. The golden model is
+    reproduced deterministically (PRNGKey(0) init -> BN calibration ->
+    fp16-rounded params, see golden/make_goldens.py); the artifact holds the
+    torch reference's logits computed from those exact parameter values."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "golden"))
+    import make_goldens as G
+
+    path = os.path.join(os.path.dirname(__file__), "golden", f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip("golden artifact missing")
+    z = np.load(path)
+    stride = int(z["stride"])
+
+    model, params, x = G.build_ours(name)
+    got = np.asarray(model(params, jnp.asarray(x)))
+
+    sample = z["sample"].astype(np.float32)
+    got_sample = got[:, ::stride, ::stride, :]
+    assert got_sample.shape == sample.shape
+    # tolerance: the recorded generation-time jax-vs-torch deviation plus
+    # fp16 storage quantization, with 2x headroom for cross-version numerics
+    tol = 2.0 * float(z["max_dev"]) + 2e-3 * float(z["ref_std"])
+    np.testing.assert_allclose(got_sample, sample, atol=max(tol, 1e-2))
+    np.testing.assert_allclose(got.mean(axis=(0, 1, 2)), z["cls_mean"],
+                               atol=max(tol, 1e-2))
+    np.testing.assert_allclose(got.std(axis=(0, 1, 2)), z["cls_std"],
+                               atol=max(tol, 1e-2))

@@ -48,3 +48,71 @@ def test_overfit_single_image():
     scores = M.scores_from_confmat(np.asarray(metrics["confmat"]))
     assert last_loss < first_loss * 0.5, (first_loss, last_loss)
     assert scores["mean_iou"] > 0.7, scores
+
+
+def _synthetic_task(seed, n, size=(64, 96), num_classes=4):
+    """A generalizable segmentation task: the class at each pixel is a pure
+    function of the local color (class k -> base color + noise), so a model
+    that learns the color->class mapping transfers to held-out images."""
+    rng = np.random.RandomState(seed)
+    base = np.array([[0.9, 0.1, 0.1], [0.1, 0.9, 0.1],
+                     [0.1, 0.1, 0.9], [0.8, 0.8, 0.1]], np.float32)
+    imgs, lbls = [], []
+    for _ in range(n):
+        # smooth random class layout: argmax of blurred per-class noise
+        fields = rng.rand(num_classes, size[0] // 8, size[1] // 8)
+        fields = np.repeat(np.repeat(fields, 8, axis=1), 8, axis=2)
+        lbl = fields.argmax(axis=0).astype(np.int32)
+        img = base[lbl] + rng.randn(*size, 3).astype(np.float32) * 0.08
+        imgs.append(img)
+        lbls.append(lbl)
+    return np.stack(imgs), np.stack(lbls)
+
+
+@pytest.mark.slow
+def test_convergence_heldout_miou():
+    """Convergence benchmark with a held-out split (not an overfit test):
+    train on 16 synthetic color-coded images, evaluate mIoU on 8 images the
+    model never saw. Exercises the full shipped loop: bootstrapped CE,
+    Adam(0.5, 0.999) + PolyLR per batch, BN running stats, eval-mode metrics
+    — the reference recipe's moving parts (train.py:79-274) at test scale."""
+    from hyperseg_tpu.models import hyperseg_v1_0 as V1
+
+    model = V1.hyperseg_efficientnet(
+        "efficientnet-b0", levels=2, kernel_sizes=[1, 3],
+        level_channels=[16, 16], expand_ratio=2, weight_groups=[8, 8],
+        num_classes=4)
+    params = model.init(jax.random.PRNGKey(0))
+
+    train_x, train_y = _synthetic_task(seed=0, n=16)
+    val_x, val_y = _synthetic_task(seed=999, n=8)
+
+    steps = 120
+    optimizer = T.make_optimizer(S.poly_lr(5e-3, steps, power=0.9),
+                                 beta1=0.5, beta2=0.999)
+    criterion = L.BootstrappedCrossEntropyLoss(k=1024, thresh=0.3,
+                                               ignore_index=255)
+    train_step = jax.jit(T.make_train_step(model, criterion, optimizer,
+                                           num_classes=4))
+    eval_step = jax.jit(T.make_eval_step(model, num_classes=4))
+    state = T.init_train_state(params, optimizer)
+
+    rng = np.random.RandomState(7)
+    for i in range(steps):
+        idx = rng.choice(len(train_x), 4, replace=False)
+        batch = {"image": jnp.asarray(train_x[idx]),
+                 "label": jnp.asarray(train_y[idx])}
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(i))
+    assert np.isfinite(float(metrics["loss"]))
+
+    confmat = np.zeros((4, 4), np.int64)
+    for i in range(0, len(val_x), 4):
+        out = eval_step(state["params"], {
+            "image": jnp.asarray(val_x[i:i + 4]),
+            "label": jnp.asarray(val_y[i:i + 4])})
+        confmat += np.asarray(out["confmat"])
+    scores = M.scores_from_confmat(confmat)
+    # the color->class mapping is trivially learnable; a correct training
+    # loop clears this bar with large margin (observed ~0.9+), while broken
+    # gradients/BN handling land near chance (~0.25)
+    assert scores["mean_iou"] > 0.6, scores

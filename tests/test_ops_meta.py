@@ -19,20 +19,22 @@ def from_nhwc(a):
     return np.asarray(a).transpose(0, 3, 1, 2)
 
 
-@pytest.mark.parametrize("groups,k,pad,mode", [
-    (1, 1, 0, "zeros"), (1, 3, 1, "zeros"), (2, 3, 1, "reflect"), (4, 1, 0, "zeros"),
+@pytest.mark.parametrize("groups,k,pad,mode,dil", [
+    (1, 1, 0, "zeros", 1), (1, 3, 1, "zeros", 1), (2, 3, 1, "reflect", 1),
+    (4, 1, 0, "zeros", 1), (1, 3, 2, "zeros", 2), (2, 3, 2, "reflect", 2),
 ])
-def test_meta_conv2d(reference, torch, groups, k, pad, mode):
+def test_meta_conv2d(reference, torch, groups, k, pad, mode, dil):
     from hyperseg.models.layers.meta_conv import MetaConv2d
     b, cin, cout, h, w = 3, 8, 12, 16, 16
-    m = MetaConv2d(cin, cout, k, padding=pad, groups=groups, padding_mode=mode)
+    m = MetaConv2d(cin, cout, k, padding=pad, groups=groups, padding_mode=mode,
+                   dilation=dil)
     x = torch.randn(b, cin, h, w)
     wt = torch.randn(b, m.hyper_params)
     ref = m(x, wt).numpy()
 
     out = meta.meta_conv2d(
         to_nhwc(x), jnp.asarray(wt.numpy()),
-        out_channels=cout, kernel_size=(k, k),
+        out_channels=cout, kernel_size=(k, k), dilation=(dil, dil),
         padding=((pad, pad), (pad, pad)), groups=groups, padding_mode=mode)
     np.testing.assert_allclose(from_nhwc(out), ref, atol=2e-5, rtol=1e-5)
 

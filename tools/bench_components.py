@@ -1,0 +1,63 @@
+"""Per-component on-device timing for the flagship HyperSeg-M forward.
+
+Times nested prefixes of the pipeline with the bench.py fori_loop methodology
+(the only valid timing on this tunneled platform) and reports differences:
+stem, backbone, weight mapper, decoder, final resize."""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def timed(fn, x, iters=100):
+    @jax.jit
+    def loop(xx):
+        def body(i, acc):
+            xi = xx + i.astype(xx.dtype) * jnp.asarray(1e-6, xx.dtype)
+            return acc + fn(xi).astype(jnp.float32).sum()
+        return lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    float(loop(x))
+    t0 = time.perf_counter()
+    float(loop(x))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    from __graft_entry__ import _build_model
+    from hyperseg_tpu.nn import functional as F
+
+    model = _build_model()
+    params = model.init(jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
+                          if a.dtype == jnp.float32 and a.ndim >= 2 else a,
+                          params)
+    x = jnp.asarray(np.random.rand(1, 512, 1024, 3), jnp.bfloat16)
+    bb = model.backbone
+    bparams = model._backbone_params(params)
+
+    t_full = timed(lambda xx: model(params, xx), x)
+    t_backbone = timed(lambda xx: jnp.concatenate(
+        [f.sum(axis=-1, keepdims=True).reshape(1, -1, 1, 1)
+         for f in bb(bparams, xx)], axis=1), x)
+    t_bb_map = timed(lambda xx: model.weight_mapper(
+        params, bb(bparams, xx)[-1], None), x)
+
+    y = jnp.asarray(np.random.rand(1, 256, 512, 19), jnp.bfloat16)
+    t_resize = timed(lambda yy: F.resize_bilinear(yy, (512, 1024)), y)
+
+    print(f"full forward      : {t_full:.3f} ms")
+    print(f"backbone          : {t_backbone:.3f} ms")
+    print(f"backbone+mapper   : {t_bb_map:.3f} ms  (mapper ~{t_bb_map - t_backbone:.3f})")
+    print(f"decoder (by diff) : {t_full - t_bb_map - t_resize:.3f} ms")
+    print(f"final resize      : {t_resize:.3f} ms")
+
+
+if __name__ == "__main__":
+    main()
