@@ -314,14 +314,34 @@ class EfficientNet:
         return F.conv2d(x, params["_conv_stem.weight"], stride=(2, 2),
                         padding=self.stem_pad)
 
+    def _stem_bn_act(self, params, x, ctx):
+        """Stem + _bn0 + swish, dispatching eval-mode supported shapes to the
+        fused Pallas kernel (ops/pallas/stem.py: the XLA stem conv is the
+        single most expensive op of the forward; the kernel halves it)."""
+        import jax as _jax
+        from hyperseg_tpu.ops import pallas as pallas_cfg
+        if (pallas_cfg.STEM_ENABLED and (ctx is None or not ctx.train)
+                and _jax.default_backend() == "tpu"):
+            from hyperseg_tpu.ops.pallas import stem as stem_k
+            b, h, w, cin = x.shape
+            # TF-SAME pad for stride 2 on even dims is (0,1)x(0,1), the
+            # kernel's fixed convention; odd/nominal-trace pads fall back
+            if (stem_k.supported(h, w, cin)
+                    and tuple(self.stem_pad) == ((0, 1), (0, 1))):
+                return stem_k.stem_conv_bn_swish(
+                    x, params["_conv_stem.weight"],
+                    params["_bn0.weight"], params["_bn0.bias"],
+                    params["_bn0.running_mean"], params["_bn0.running_var"],
+                    eps=BN_EPS)
+        return F.swish(self._bn(params, "_bn0", self._stem(params, x), ctx))
+
     def __call__(self, params, x, ctx=None):
         """x: (B, H, W, in_channels) NHWC. Returns the multi-scale feature list
         (one per stride level, compressed) + the stride-32 head feature —
         mirroring extract_features_list (efficientnet.py:319-363)."""
         train = ctx is not None and ctx.train
         rng = ctx.rng if ctx is not None else None
-        x = self._stem(params, x)
-        x = F.swish(self._bn(params, "_bn0", x, ctx))
+        x = self._stem_bn_act(params, x, ctx)
 
         feats = []
         n = len(self.blocks)

@@ -83,6 +83,8 @@ class HyperGen:
         feats = self.backbone(self._backbone_params(params), x, bctx)
         if bctx is not None and bctx.updates:
             ctx.updates.update({f"backbone.{k}": v for k, v in bctx.updates.items()})
+            ctx.batch_stats.update({f"backbone.{k}": v
+                                    for k, v in bctx.batch_stats.items()})
         s = self.weight_mapper(params, feats[-1], ctx)
         return self.decoder(params, [x] + feats[:-1], s, ctx)
 

@@ -142,7 +142,9 @@ def batch_norm_train(x, scale, bias, mean, var, *, eps=1e-5, momentum=0.1,
     new = (1 - momentum) * old + momentum * batch).
 
     reduce_axes: axes to compute stats over (default: all but last).
-    Returns (y, new_mean, new_var).
+    Returns (y, new_mean, new_var, batch_mean, batch_var) — the raw batch
+    stats let callers snapshot exactly what normalization used (BN
+    calibration, utils/calibrate.py), independent of the layer's momentum.
     """
     if reduce_axes is None:
         reduce_axes = tuple(range(x.ndim - 1))
@@ -163,7 +165,7 @@ def batch_norm_train(x, scale, bias, mean, var, *, eps=1e-5, momentum=0.1,
     if bias is not None:
         b = b + bias.astype(jnp.float32)
     y = x * w.astype(x.dtype) + b.astype(x.dtype)
-    return y, new_mean, new_var
+    return y, new_mean, new_var, batch_mean, batch_var
 
 
 def dropout2d(x, p, rng):
@@ -188,6 +190,10 @@ class Ctx:
         self.train = train
         self.rng = rng
         self.updates = {}
+        # raw batch stats of each BN this pass (keyed like `updates`):
+        # exactly what train-mode normalization used, independent of each
+        # layer's momentum — consumed by utils/calibrate.calibrate_bn
+        self.batch_stats = {}
 
     def next_rng(self, tag: int):
         if self.rng is None:
@@ -207,10 +213,12 @@ def apply_bn(params, prefix, x, ctx: Ctx | None = None, *, eps=1e-5,
     var = params[f"{prefix}.running_var"]
     if ctx is None or not ctx.train:
         return batch_norm(x, scale, bias, mean, var, eps=eps)
-    y, new_mean, new_var = batch_norm_train(x, scale, bias, mean, var,
-                                            eps=eps, momentum=momentum)
+    y, new_mean, new_var, b_mean, b_var = batch_norm_train(
+        x, scale, bias, mean, var, eps=eps, momentum=momentum)
     ctx.updates[f"{prefix}.running_mean"] = new_mean
     ctx.updates[f"{prefix}.running_var"] = new_var
+    ctx.batch_stats[f"{prefix}.running_mean"] = b_mean
+    ctx.batch_stats[f"{prefix}.running_var"] = b_var
     return y
 
 

@@ -1,10 +1,17 @@
-"""Fused Pallas TPU kernels (opt-in).
+"""Fused Pallas TPU kernels (per-kernel opt-in flags, eval path only).
 
-Set `hyperseg_tpu.ops.pallas.ENABLED = True` to route eval-mode inverted
-residuals through the fused kernel (ops/pallas/patch_invres.py). The XLA
-patch-blocked path (ops/patch.py) is the numerical oracle and the default —
-on v5e the fused kernel currently matches it rather than beating it (the op
-is MXU-shape-bound, not HBM-bound), so the default stays XLA until the kernel
-wins."""
+STEM_ENABLED (default True) routes the backbone stem+BN+swish through
+ops/pallas/stem.py — measured 1.5-1.6x faster than the XLA stem at every
+benchmark shape on v5e (the biggest single op of the forward).
+
+ENABLED (default False) routes eval-mode inverted residuals through
+ops/pallas/patch_invres.py. Measured on v5e (tools/bench_invres.py) the
+fused kernel slightly loses to the XLA patch-blocked path at the shipped
+benchmark shapes (0.72-0.85 ms vs 0.66-0.79 ms per level) — the op is
+MXU-shape-bound, not HBM-bound, so keeping the expanded chain in VMEM buys
+nothing. The XLA path (ops/patch.py) stays the default and the numerical
+oracle; the kernel remains for larger-patch regimes where the halo gather
+dominates."""
 
 ENABLED = False
+STEM_ENABLED = True

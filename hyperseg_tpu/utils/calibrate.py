@@ -14,16 +14,14 @@ from __future__ import annotations
 from hyperseg_tpu.nn import functional as F
 
 
-def calibrate_bn(model, params, x, momentum=0.1):
-    """Return a copy of `params` whose BN running stats are the batch
-    statistics of a forward pass on `x` (deterministic: train mode, no rng)."""
+def calibrate_bn(model, params, x):
+    """Return a copy of `params` whose BN running stats are the exact batch
+    statistics of a forward pass on `x` (deterministic: train mode, no rng).
+
+    Uses the raw batch stats recorded in Ctx.batch_stats — NOT a momentum
+    inversion, which would need each layer's own momentum (the backbone uses
+    0.01, the decoder 0.1). Eval-mode logits with these stats reproduce the
+    calibration pass's train-mode logits exactly."""
     ctx = F.Ctx(train=True, rng=None)
     model(params, x, ctx)
-    out = dict(params)
-    for k, new in ctx.updates.items():
-        if k.endswith(".running_mean") or k.endswith(".running_var"):
-            # new = (1 - m) * old + m * batch  =>  batch
-            out[k] = (new - (1 - momentum) * params[k]) / momentum
-        else:
-            out[k] = new
-    return out
+    return {**params, **ctx.batch_stats}

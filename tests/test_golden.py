@@ -60,8 +60,10 @@ def test_config_golden(name):
         pytest.skip("golden artifact missing")
     z = np.load(path)
     stride = int(z["stride"])
+    bn_stats = {k[len("bn::"):]: z[k].astype(np.float32) for k in z.files
+                if k.startswith("bn::")}
 
-    model, params, x = G.build_ours(name)
+    model, params, x = G.build_ours(name, bn_stats=bn_stats or None)
     got = np.asarray(model(params, jnp.asarray(x)))
 
     sample = z["sample"].astype(np.float32)

@@ -50,3 +50,31 @@ def test_invres_fused_matches_oracle(b, fh, fw, ph, pw, cin, hidden, out):
     # agreement in structure: correlation ~ 1
     g, w_ = np.asarray(got).ravel(), np.asarray(want).ravel()
     assert np.corrcoef(g, w_)[0, 1] > 0.999
+
+
+@pytest.mark.parametrize("shape", [(64, 256), (128, 768), (64, 128)])
+def test_stem_kernel_parity(shape):
+    """Fused stem (conv3x3/s2 + BN + swish) vs the XLA oracle, interpret
+    mode. Covers the supported() gate and both supported benchmark-like
+    shapes and one where W//2 is not a 128-multiple (fallback expected)."""
+    from hyperseg_tpu.nn import functional as F
+    from hyperseg_tpu.ops.pallas import stem as S
+
+    H, W = shape
+    if not S.supported(H, W, 3):
+        assert (W // 2) % 128 != 0  # only reason these shapes can fall back
+        return
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, H, W, 3), jnp.float32)
+    wt = jnp.asarray(rng.randn(3, 3, 3, 32) * 0.1, jnp.float32)
+    s = jnp.asarray(rng.rand(32) + 0.5)
+    b = jnp.asarray(rng.randn(32) * 0.1)
+    m = jnp.asarray(rng.randn(32) * 0.1)
+    v = jnp.asarray(rng.rand(32) + 0.5)
+
+    pad = F.same_padding_2d((H, W), (3, 3), (2, 2))
+    ref = F.conv2d(x, wt, stride=(2, 2), padding=pad)
+    ref = (ref - m) * jax.lax.rsqrt(v + 1e-3) * s + b
+    ref = ref * jax.nn.sigmoid(ref)
+    got = S.stem_conv_bn_swish(x, wt, s, b, m, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
