@@ -61,6 +61,9 @@ CONFIGS = {
                 weight_groups=[64, 32, 32, 16, 8, 8], num_classes=12)),
     "hyperseg_l_voc": dict(
         module="hyperseg_v0_1", backbone="efficientnet-b3", res=(512, 512),
+        # deeper stack: the default attenuation starves the output (std
+        # 0.02); milder factors keep it conditioned at std ~0.14
+        atten=(9.0, 1.0),
         kw=dict(levels=3, kernel_sizes=(1, 1, 3, 3, 3, 3), expand_ratio=2,
                 with_out_fc=False, decoder_dropout=None, weight_groups=16,
                 num_classes=21)),
@@ -103,7 +106,8 @@ def build_ours(name, bn_stats=None):
         # exercising every parameter and code path (structural regressions
         # still produce O(std) deviations; measured conditioning at this
         # point: max|dev| 1e-3..1e-2 at output std 0.14-0.29).
-        params = {k: (v * (100.0 if k.startswith("backbone.") else 10.0)
+        fb, fd = cfg.get("atten", (100.0, 10.0))
+        params = {k: (v * (fb if k.startswith("backbone.") else fd)
                       if k.endswith(".running_var") else v)
                   for k, v in params.items()}
     else:
@@ -159,6 +163,10 @@ def make(name):
 
 
 if __name__ == "__main__":
+    # the environment's sitecustomize registers a TPU backend; generation is
+    # a CPU+torch job — force CPU regardless (as tests/conftest.py does)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     names = sys.argv[1:] or list(CONFIGS)
     for n in names:
         make(n)
