@@ -314,26 +314,76 @@ class EfficientNet:
         return F.conv2d(x, params["_conv_stem.weight"], stride=(2, 2),
                         padding=self.stem_pad)
 
-    def _stem_bn_act(self, params, x, ctx):
+    def _stem_kernel_ok(self, x, ctx):
+        """True when the eval-mode fused Pallas stem applies (TPU backend,
+        supported shape, the kernel's TF-SAME (0,1)x(0,1) pad convention)."""
+        import jax as _jax
+        from hyperseg_tpu.ops import pallas as pallas_cfg
+        if not (pallas_cfg.STEM_ENABLED and (ctx is None or not ctx.train)
+                and _jax.default_backend() == "tpu"):
+            return False
+        from hyperseg_tpu.ops.pallas import stem as stem_k
+        b, h, w, cin = x.shape
+        return (stem_k.supported(h, w, cin)
+                and tuple(self.stem_pad) == ((0, 1), (0, 1)))
+
+    def _stem_bn_act(self, params, x, ctx, planar=False):
         """Stem + _bn0 + swish, dispatching eval-mode supported shapes to the
         fused Pallas kernel (ops/pallas/stem.py: the XLA stem conv is the
         single most expensive op of the forward; the kernel halves it)."""
-        import jax as _jax
-        from hyperseg_tpu.ops import pallas as pallas_cfg
-        if (pallas_cfg.STEM_ENABLED and (ctx is None or not ctx.train)
-                and _jax.default_backend() == "tpu"):
+        if self._stem_kernel_ok(x, ctx):
             from hyperseg_tpu.ops.pallas import stem as stem_k
-            b, h, w, cin = x.shape
-            # TF-SAME pad for stride 2 on even dims is (0,1)x(0,1), the
-            # kernel's fixed convention; odd/nominal-trace pads fall back
-            if (stem_k.supported(h, w, cin)
-                    and tuple(self.stem_pad) == ((0, 1), (0, 1))):
-                return stem_k.stem_conv_bn_swish(
-                    x, params["_conv_stem.weight"],
-                    params["_bn0.weight"], params["_bn0.bias"],
-                    params["_bn0.running_mean"], params["_bn0.running_var"],
-                    eps=BN_EPS)
+            return stem_k.stem_conv_bn_swish(
+                x, params["_conv_stem.weight"],
+                params["_bn0.weight"], params["_bn0.bias"],
+                params["_bn0.running_mean"], params["_bn0.running_var"],
+                eps=BN_EPS, planar=planar)
         return F.swish(self._bn(params, "_bn0", self._stem(params, x), ctx))
+
+    def _fusable_prefix(self, h2, w2):
+        """Leading blocks the fused planar MBConv chain can absorb
+        (ops/pallas/mbconv.py): expand-1, k3, stride-1, SE, symmetric SAME
+        padding — b1's block0/1. The chain ends at the first feature tap."""
+        if w2 % 128 or h2 % 8:
+            return 0
+        n = 0
+        for bp in self.blocks:
+            if not (bp.expand == 1 and bp.kernel == 3 and bp.stride == 1
+                    and bp.se_ch is not None
+                    and tuple(bp.dw_pad) == ((1, 1), (1, 1))):
+                break
+            n += 1
+            if bp.is_feat:
+                break
+        return n
+
+    def _fused_prefix_blocks(self, params, x_planar, fuse_n):
+        """Run blocks [0, fuse_n) in channel-planar layout via the two-phase
+        fused kernels; the last projection emits NHWC directly."""
+        from hyperseg_tpu.ops.pallas import mbconv as MB
+        b, c, h2, w2 = x_planar.shape
+        x = x_planar
+        for i in range(fuse_n):
+            bp = self.blocks[i]
+            p = f"_blocks.{i}"
+            resid = (x if (bp.id_skip and bp.in_ch == bp.out_ch) else None)
+            hmap = MB.dw_phase(
+                x, params[f"{p}._depthwise_conv.weight"],
+                params[f"{p}._bn1.weight"], params[f"{p}._bn1.bias"],
+                params[f"{p}._bn1.running_mean"],
+                params[f"{p}._bn1.running_var"], eps=BN_EPS)
+            pooled = jnp.mean(hmap.astype(jnp.float32), axis=(2, 3))  # (B, C)
+            se = F.swish(pooled @ params[f"{p}._se_reduce.weight"][0, 0]
+                         + params[f"{p}._se_reduce.bias"])
+            se = jax.nn.sigmoid(se @ params[f"{p}._se_expand.weight"][0, 0]
+                                + params[f"{p}._se_expand.bias"])
+            x = MB.project_phase(
+                hmap, se, params[f"{p}._project_conv.weight"],
+                params[f"{p}._bn2.weight"], params[f"{p}._bn2.bias"],
+                params[f"{p}._bn2.running_mean"],
+                params[f"{p}._bn2.running_var"],
+                residual=resid, nhwc=(i == fuse_n - 1), eps=BN_EPS)
+        return x
 
     def __call__(self, params, x, ctx=None):
         """x: (B, H, W, in_channels) NHWC. Returns the multi-scale feature list
@@ -341,12 +391,29 @@ class EfficientNet:
         mirroring extract_features_list (efficientnet.py:319-363)."""
         train = ctx is not None and ctx.train
         rng = ctx.rng if ctx is not None else None
-        x = self._stem_bn_act(params, x, ctx)
-
+        fuse_n = (self._fusable_prefix(x.shape[1] // 2, x.shape[2] // 2)
+                  if self._stem_kernel_ok(x, ctx) else 0)
         feats = []
+        if fuse_n:
+            x = self._stem_bn_act(params, x, ctx, planar=True)
+            x = self._fused_prefix_blocks(params, x, fuse_n)
+            if self.blocks[fuse_n - 1].is_feat:
+                fc = (self.feat_fc[0]
+                      if self.out_feat_scale is not None else None)
+                if fc is None:
+                    feats.append(x)
+                else:
+                    f = F.conv2d(x, params["_feat_fc_0.0.weight"])
+                    f = self._bn(params, "_feat_fc_0.1", f, ctx)
+                    feats.append(f)
+        else:
+            x = self._stem_bn_act(params, x, ctx)
+
         n = len(self.blocks)
         rngs = jax.random.split(rng, n) if (train and rng is not None) else [None] * n
         for i, bp in enumerate(self.blocks):
+            if i < fuse_n:
+                continue
             drop_rate = self.drop_connect_rate * i / n if self.drop_connect_rate else 0.0
             if train and self.remat:
                 # remat-safe: the block runs in its own Ctx so BN-state

@@ -98,8 +98,8 @@ def _fold_filter(weight, bn_scale, bn_var, eps):
 
 
 def _kernel(xm, xrh, xch, xcc, sel_ref, w_ref, b_ref, o_ref, *,
-            rows, cin, cout, cw, act):
-    """One cell: R output rows x CW output cols, all cout channels NHWC."""
+            rows, cin, cout, cw, act, planar):
+    """One cell: R output rows x CW output cols, all cout channels."""
     kwi = 2 * cin * cw
     cwp = cw + 8
     top = jnp.concatenate([xm[0], xch[0]], 1)               # (2R, kwi+128)
@@ -115,19 +115,26 @@ def _kernel(xm, xrh, xch, xcc, sel_ref, w_ref, b_ref, o_ref, *,
             for off in range(2):
                 ts.append(r[:, grp * cwp + off: grp * cwp + off + cw])
     taps = jnp.stack(ts)                                    # (12cin, R, CW)
-    y = lax.dot_general(taps, w_ref[:], (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # (R, CW, cout)
-    y = y + b_ref[0]
+    if planar:
+        y = lax.dot_general(w_ref[:].T, taps, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (cout,R,CW)
+        y = y + b_ref[0].T[:, :, None]
+    else:
+        y = lax.dot_general(taps, w_ref[:], (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (R,CW,cout)
+        y = y + b_ref[0]
     if act == "swish":
         y = y * jax.nn.sigmoid(y)
     o_ref[0] = y.astype(o_ref.dtype)
 
 
 def stem_conv_bn_swish(x, weight, bn_scale, bn_bias, bn_mean, bn_var, *,
-                       eps=1e-3, act="swish", band_rows=32, interpret=False):
+                       eps=1e-3, act="swish", band_rows=32, planar=False,
+                       interpret=False):
     """x: (B, H, W, cin); weight: (3, 3, cin, cout) HWIO; TF-SAME stride-2
-    padding ((0,1),(0,1)). Returns NHWC (B, H//2, W//2, cout). Caller must
-    check `supported(H, W, cin)`."""
+    padding ((0,1),(0,1)). Returns NHWC (B, H//2, W//2, cout), or channel-
+    planar (B, cout, H//2, W//2) with planar=True (feeds the fused MBConv
+    chain, ops/pallas/mbconv.py). Caller must check `supported(H, W, cin)`."""
     b, h, w, cin = x.shape
     kh, kw_, _, cout = weight.shape
     itemsize = np.dtype(x.dtype).itemsize
@@ -151,7 +158,7 @@ def stem_conv_bn_swish(x, weight, bn_scale, bn_bias, bn_mean, bn_var, *,
     bias = bias[None, None, :]                               # (1, 1, cout)
 
     kern = functools.partial(_kernel, rows=rows, cin=cin, cout=cout, cw=cw,
-                             act=act)
+                             act=act, planar=planar)
     out = pl.pallas_call(
         kern,
         grid=(b, h2 // rows, w2 // cw),
@@ -173,9 +180,12 @@ def stem_conv_bn_swish(x, weight, bn_scale, bn_bias, bn_mean, bn_var, *,
             pl.BlockSpec((12 * cin, cout), lambda bi, i, c: (0, 0)),
             pl.BlockSpec((1, 1, cout), lambda bi, i, c: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, rows, cw, cout),
-                               lambda bi, i, c: (bi, i, c, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h2, w2, cout), x.dtype),
+        out_specs=(pl.BlockSpec((1, cout, rows, cw),
+                                lambda bi, i, c: (bi, 0, i, c)) if planar
+                   else pl.BlockSpec((1, rows, cw, cout),
+                                     lambda bi, i, c: (bi, i, c, 0))),
+        out_shape=(jax.ShapeDtypeStruct((b, cout, h2, w2), x.dtype) if planar
+                   else jax.ShapeDtypeStruct((b, h2, w2, cout), x.dtype)),
         interpret=interpret,
     )(xr, xr, xr, xr, sel, wf, bias)
     return out

@@ -78,3 +78,77 @@ def test_stem_kernel_parity(shape):
     ref = ref * jax.nn.sigmoid(ref)
     got = S.stem_conv_bn_swish(x, wt, s, b, m, v, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_mbconv_fused_phases_parity():
+    """Planar dw_phase + project_phase vs the NHWC XLA oracle (the _block
+    semantics they replace), interpret mode; covers residual and both output
+    layouts."""
+    from jax import lax
+    from hyperseg_tpu.nn import functional as F
+    from hyperseg_tpu.ops.pallas import mbconv as MB
+
+    rng = np.random.RandomState(0)
+    B, C, CO, H, W = 2, 32, 16, 64, 128
+    x = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    wdw = jnp.asarray(rng.randn(3, 3, 1, C) * 0.2, jnp.float32)
+    wproj = jnp.asarray(rng.randn(1, 1, C, CO) * 0.2, jnp.float32)
+    wred = jnp.asarray(rng.randn(1, 1, C, 8) * 0.2, jnp.float32)
+    bred = jnp.asarray(rng.randn(8) * 0.1)
+    wexp = jnp.asarray(rng.randn(1, 1, 8, C) * 0.2, jnp.float32)
+    bexp = jnp.asarray(rng.randn(C) * 0.1)
+    bn1 = [jnp.asarray(rng.rand(C) + 0.5), jnp.asarray(rng.randn(C) * 0.1),
+           jnp.asarray(rng.randn(C) * 0.1), jnp.asarray(rng.rand(C) + 0.5)]
+    bn2 = [jnp.asarray(rng.rand(CO) + 0.5), jnp.asarray(rng.randn(CO) * 0.1),
+           jnp.asarray(rng.randn(CO) * 0.1), jnp.asarray(rng.rand(CO) + 0.5)]
+
+    def oracle(xx):
+        y = lax.conv_general_dilated(
+            xx, wdw, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+        y = F.swish(F.batch_norm(y, *bn1, eps=1e-3))
+        se = jnp.mean(y, axis=(1, 2), keepdims=True)
+        se = F.swish(lax.conv_general_dilated(
+            se, wred, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bred)
+        se = lax.conv_general_dilated(
+            se, wexp, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bexp
+        y = jax.nn.sigmoid(se) * y
+        y = lax.conv_general_dilated(
+            y, wproj, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return F.batch_norm(y, *bn2, eps=1e-3)
+
+    ref = np.asarray(oracle(x))
+    xp = jnp.transpose(x, (0, 3, 1, 2))
+    h = MB.dw_phase(xp, wdw, *bn1, interpret=True)
+    pooled = jnp.mean(h.astype(jnp.float32), axis=(2, 3))
+    se = F.swish(pooled @ wred[0, 0] + bred)
+    se = jax.nn.sigmoid(se @ wexp[0, 0] + bexp)
+    out = MB.project_phase(h, se, wproj, *bn2, nhwc=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+    # planar output consistency + residual path (C == CO)
+    wproj2 = jnp.asarray(rng.randn(1, 1, C, C) * 0.2, jnp.float32)
+    bn3 = [jnp.asarray(rng.rand(C) + 0.5), jnp.asarray(rng.randn(C) * 0.1),
+           jnp.asarray(rng.randn(C) * 0.1), jnp.asarray(rng.rand(C) + 0.5)]
+    o_pl = MB.project_phase(h, se, wproj2, *bn3, residual=xp, nhwc=False,
+                            interpret=True)
+    o_nh = MB.project_phase(h, se, wproj2, *bn3, residual=xp, nhwc=True,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(jnp.transpose(o_pl, (0, 2, 3, 1))),
+                               np.asarray(o_nh), atol=1e-6)
+    ref_res = np.asarray(o_nh)
+    base = oracle  # reuse weights except project
+    def oracle_res(xx):
+        y = lax.conv_general_dilated(
+            xx, wdw, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+        y = F.swish(F.batch_norm(y, *bn1, eps=1e-3))
+        y = se[:, None, None, :] * y
+        y = lax.conv_general_dilated(
+            y, wproj2, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return F.batch_norm(y, *bn3, eps=1e-3) + xx
+    np.testing.assert_allclose(ref_res, np.asarray(oracle_res(x)), atol=2e-5)
