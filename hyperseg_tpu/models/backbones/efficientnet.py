@@ -341,49 +341,67 @@ class EfficientNet:
         return F.swish(self._bn(params, "_bn0", self._stem(params, x), ctx))
 
     def _fusable_prefix(self, h2, w2):
-        """Leading blocks the fused planar MBConv chain can absorb
-        (ops/pallas/mbconv.py): expand-1, k3, stride-1, SE, symmetric SAME
-        padding — b1's block0/1. The chain ends at the first feature tap."""
-        if w2 % 128 or h2 % 8:
-            return 0
-        n = 0
+        """Leading blocks the fused planar MBConv chain absorbs
+        (ops/pallas/mbconv.py): expand-1, k3, stride-1, SE blocks — b1's
+        block0/1. Expand-ratio blocks (2-4) have a tested kernel
+        (expand_dw_phase) but dispatching them was MEASURED SLOWER end to
+        end (281 vs 364 img/s on HyperSeg-M): the 16-channel chunking that
+        keeps Mosaic's nine live tap temporaries inside the 16 MB scoped
+        VMEM costs more in grid overhead than the lane fill recovers, so
+        the XLA path keeps blocks 2+."""
+        h, w, n = h2, w2, 0
         for bp in self.blocks:
             if not (bp.expand == 1 and bp.kernel == 3 and bp.stride == 1
                     and bp.se_ch is not None
                     and tuple(bp.dw_pad) == ((1, 1), (1, 1))):
                 break
-            n += 1
-            if bp.is_feat:
+            if w % 128 or h % 8:
                 break
+            n += 1
         return n
 
     def _fused_prefix_blocks(self, params, x_planar, fuse_n):
         """Run blocks [0, fuse_n) in channel-planar layout via the two-phase
-        fused kernels; the last projection emits NHWC directly."""
+        fused kernels. Returns (nhwc_output_of_last_block, raw_feats): at a
+        mid-chain feature tap the projection runs twice (planar to continue
+        the chain + NHWC for the feat — the extra matmul is tiny)."""
         from hyperseg_tpu.ops.pallas import mbconv as MB
-        b, c, h2, w2 = x_planar.shape
         x = x_planar
+        raw_feats = []
         for i in range(fuse_n):
             bp = self.blocks[i]
             p = f"_blocks.{i}"
-            resid = (x if (bp.id_skip and bp.in_ch == bp.out_ch) else None)
-            hmap = MB.dw_phase(
-                x, params[f"{p}._depthwise_conv.weight"],
-                params[f"{p}._bn1.weight"], params[f"{p}._bn1.bias"],
-                params[f"{p}._bn1.running_mean"],
-                params[f"{p}._bn1.running_var"], eps=BN_EPS)
+            resid = (x if (bp.id_skip and bp.stride == 1
+                           and bp.in_ch == bp.out_ch) else None)
+            bn1 = tuple(params[f"{p}._bn1.{f}"] for f in
+                        ("weight", "bias", "running_mean", "running_var"))
+            if bp.expand == 1:
+                hmap = MB.dw_phase(
+                    x, params[f"{p}._depthwise_conv.weight"], *bn1,
+                    eps=BN_EPS)
+            else:
+                bn0 = tuple(params[f"{p}._bn0.{f}"] for f in
+                            ("weight", "bias", "running_mean", "running_var"))
+                hmap = MB.expand_dw_phase(
+                    x, params[f"{p}._expand_conv.weight"], bn0,
+                    params[f"{p}._depthwise_conv.weight"], bn1,
+                    stride=bp.stride, eps=BN_EPS)
             pooled = jnp.mean(hmap.astype(jnp.float32), axis=(2, 3))  # (B, C)
             se = F.swish(pooled @ params[f"{p}._se_reduce.weight"][0, 0]
                          + params[f"{p}._se_reduce.bias"])
             se = jax.nn.sigmoid(se @ params[f"{p}._se_expand.weight"][0, 0]
                                 + params[f"{p}._se_expand.bias"])
-            x = MB.project_phase(
-                hmap, se, params[f"{p}._project_conv.weight"],
-                params[f"{p}._bn2.weight"], params[f"{p}._bn2.bias"],
-                params[f"{p}._bn2.running_mean"],
-                params[f"{p}._bn2.running_var"],
-                residual=resid, nhwc=(i == fuse_n - 1), eps=BN_EPS)
-        return x
+            bn2 = tuple(params[f"{p}._bn2.{f}"] for f in
+                        ("weight", "bias", "running_mean", "running_var"))
+            wpj = params[f"{p}._project_conv.weight"]
+            last = (i == fuse_n - 1)
+            x = MB.project_phase(hmap, se, wpj, *bn2, residual=resid,
+                                 nhwc=last, eps=BN_EPS)
+            if bp.is_feat:
+                raw_feats.append(x if last else MB.project_phase(
+                    hmap, se, wpj, *bn2, residual=resid, nhwc=True,
+                    eps=BN_EPS))
+        return x, raw_feats
 
     def __call__(self, params, x, ctx=None):
         """x: (B, H, W, in_channels) NHWC. Returns the multi-scale feature list
@@ -396,15 +414,15 @@ class EfficientNet:
         feats = []
         if fuse_n:
             x = self._stem_bn_act(params, x, ctx, planar=True)
-            x = self._fused_prefix_blocks(params, x, fuse_n)
-            if self.blocks[fuse_n - 1].is_feat:
-                fc = (self.feat_fc[0]
+            x, raw_feats = self._fused_prefix_blocks(params, x, fuse_n)
+            for rf in raw_feats:
+                fc = (self.feat_fc[len(feats)]
                       if self.out_feat_scale is not None else None)
                 if fc is None:
-                    feats.append(x)
+                    feats.append(rf)
                 else:
-                    f = F.conv2d(x, params["_feat_fc_0.0.weight"])
-                    f = self._bn(params, "_feat_fc_0.1", f, ctx)
+                    f = F.conv2d(rf, params[f"_feat_fc_{len(feats)}.0.weight"])
+                    f = self._bn(params, f"_feat_fc_{len(feats)}.1", f, ctx)
                     feats.append(f)
         else:
             x = self._stem_bn_act(params, x, ctx)

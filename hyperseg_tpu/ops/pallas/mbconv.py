@@ -124,7 +124,7 @@ def _proj_kernel(h_ref, res_ref, w_ref, o_ref, *, nhwc, residual, rows, w):
 
 
 def project_phase(hidden, se, w_proj, bn_scale, bn_bias, bn_mean, bn_var, *,
-                  residual=None, nhwc=False, eps=1e-3, band_rows=32,
+                  residual=None, nhwc=False, eps=1e-3, band_rows=16,
                   interpret=False):
     """hidden: (B, C, H, W); se: (B, C) sigmoid-activated scales;
     w_proj: (1, 1, C, CO) HWIO. Returns (B, CO, H, W) planar or
@@ -172,3 +172,145 @@ def project_phase(hidden, se, w_proj, bn_scale, bn_bias, bn_mean, bn_var, *,
         out_shape=out_shape,
         interpret=interpret,
     )(hidden, res, wp_b)
+
+
+def _exp_dw_kernel(xm, xth, xbh, w_e, w9, b9, selc, o_ref, *,
+                   cin, cmid, rows, w, w_out, stride, h):
+    """Expand 1x1 (+bn0+swish) -> depthwise 3x3 (+bn1+swish) for one band.
+
+    stride 1: input band is R+2 rows (top/bottom 1-row halos from 8-row
+    blocks); taps slice rows dy. stride 2: input band is 2R+2 rows (TF-SAME
+    pads bottom/right only — no top halo); row parity comes from a
+    leading-dim reshape, column parity from a one-hot (W, W_out) selection
+    matmul on the MXU."""
+    if stride == 1:
+        xb = jnp.concatenate([xth[0][:, 7:8], xm[0], xbh[0][:, :1]],
+                             axis=1)                           # (Cin,R+2,Wp)
+    else:
+        xb = jnp.concatenate([xm[0], xbh[0][:, :2]], axis=1)   # (Cin,2R+2,Wp)
+    ones = jnp.ones((1,) + xb.shape[1:], xb.dtype)
+    xe = lax.dot_general(w_e[:], jnp.concatenate([xb, ones], 0),
+                         (((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)    # (Cmid,?,Wp)
+    xe = xe * jax.nn.sigmoid(xe)                                # swish
+    # the depthwise SAME padding pads the EXPANDED map with zeros; the
+    # expand of a zero-padded input is swish(bias), so mask the pad region
+    i = pl.program_id(1)
+    ri = lax.broadcasted_iota(jnp.int32, (1,) + xb.shape[1:], 1)
+    ci = lax.broadcasted_iota(jnp.int32, (1,) + xb.shape[1:], 2)
+    if stride == 1:
+        gr = i * rows + ri - 1
+        valid = (gr >= 0) & (gr < h) & (ci >= 1) & (ci < w + 1)
+    else:
+        gr = 2 * i * rows + ri
+        valid = (gr < h) & (ci < w)
+    xe = jnp.where(valid, xe, 0.0).astype(xb.dtype)
+    acc = None
+    for dy in range(3):
+        if stride == 1:
+            rsel = xe[:, dy:dy + rows]
+        else:
+            rsel = xe[:, dy:dy + 2 * rows].reshape(
+                cmid, rows, 2, xe.shape[-1])[:, :, 0]           # rows 2r+dy
+        for dx in range(3):
+            t = (rsel[:, :, dx:dx + w].astype(jnp.float32) * w9[3 * dy + dx])
+            acc = t if acc is None else acc + t                 # (Cmid,R,W)
+    if stride == 2:
+        acc = lax.dot_general(acc.astype(xb.dtype), selc[:],
+                              (((2,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    y = acc + b9[0]                                             # (Cmid,R,Wout)
+    y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def expand_dw_phase(x_planar, w_expand, bn0, w_dw, bn1, *, stride=1,
+                    eps=1e-3, band_rows=None, interpret=False):
+    """Expand-ratio MBConv front half: 1x1 expand + bn0 + swish + depthwise
+    3x3 (stride 1 or 2, TF-SAME) + bn1 + swish, channel-planar.
+
+    x_planar: (B, Cin, H, W); w_expand: (1, 1, Cin, Cmid) HWIO;
+    w_dw: (3, 3, 1, Cmid); bn0/bn1: (scale, bias, mean, var) tuples.
+    Returns (B, Cmid, H//stride, W//stride)."""
+    b, cin, h, w = x_planar.shape
+    cmid = w_expand.shape[-1]
+    h_out, w_out = h // stride, w // stride
+    rows = band_rows or (16 if stride == 1 else 8)
+    while h_out % rows:
+        rows //= 2
+    assert rows % 8 == 0 and w % 128 == 0 and h % 2 == 0 and w % 2 == 0
+
+    # folded expand: bn0 scale into columns, bias as an extra ones-row
+    inv0 = jax.lax.rsqrt(bn0[3].astype(jnp.float32) + eps)
+    s0 = bn0[0].astype(jnp.float32) * inv0
+    bias0 = bn0[1].astype(jnp.float32) - bn0[2].astype(jnp.float32) * s0
+    we = jnp.transpose(w_expand[0, 0], (1, 0)).astype(jnp.float32) * s0[:, None]
+    we = jnp.concatenate([we, bias0[:, None]], axis=1)          # (Cmid,Cin+1)
+    we = we.astype(x_planar.dtype)
+
+    # folded dw taps (bn1 scale) + lane-broadcast bias at the output width
+    inv1 = jax.lax.rsqrt(bn1[3].astype(jnp.float32) + eps)
+    s1 = bn1[0].astype(jnp.float32) * inv1
+    bias1 = bn1[1].astype(jnp.float32) - bn1[2].astype(jnp.float32) * s1
+    wdw = jnp.transpose(w_dw[:, :, 0, :], (2, 0, 1)).reshape(cmid, 9)
+    wdw = wdw.astype(jnp.float32) * s1[:, None]
+    w9 = jnp.broadcast_to(wdw.T[:, :, None, None], (9, cmid, 1, w))
+    b9 = jnp.broadcast_to(bias1[None, :, None, None], (1, cmid, 1, w_out))
+
+    if stride == 1:
+        # symmetric SAME pad; top pad a full band keeps halo maps affine.
+        # Width pads to a 128 multiple: Mosaic cannot lower the rank-3
+        # expand contraction when the lane dim is ragged (514 lanes fail,
+        # 512/640 work)
+        xp = jnp.pad(x_planar, ((0, 0), (0, 0), (rows, 8), (1, 127)))
+        in_rows = rows
+        main_idx = lambda bi, i: (bi, 0, i + 1, 0)
+        top_idx = lambda bi, i: (bi, 0, (i + 1) * rows // 8 - 1, 0)
+        halo_idx = lambda bi, i: (bi, 0, (i + 2) * rows // 8, 0)
+        selc = jnp.zeros((1, 1), x_planar.dtype)  # unused
+        sel_spec = pl.BlockSpec((1, 1), lambda bi, i, c: (0, 0))
+    else:
+        # TF-SAME for stride 2 on even dims pads bottom/right only (width
+        # padded to a 128 multiple, see above)
+        xp = jnp.pad(x_planar, ((0, 0), (0, 0), (0, 16), (0, 128)))
+        in_rows = 2 * rows
+        main_idx = lambda bi, i: (bi, 0, i, 0)
+        top_idx = lambda bi, i: (bi, 0, 0, 0)  # unused dummy
+        halo_idx = lambda bi, i: (bi, 0, (i + 1) * 2 * rows // 8, 0)
+        sel = np.zeros((w, w_out), np.float32)
+        sel[np.arange(w_out) * 2, np.arange(w_out)] = 1.0
+        selc = jnp.asarray(sel, x_planar.dtype)
+        sel_spec = pl.BlockSpec((w, w_out), lambda bi, i, c: (0, 0))
+
+    wp = xp.shape[-1]
+    # channel-chunk the expanded domain: Mosaic keeps all nine tap
+    # temporaries live, so a full 96-channel band overflows the 16 MB
+    # scoped VMEM; 16 channels per cell keeps the fp32 stack under ~14 MB
+    cchunk = cmid
+    while cchunk > 16 or cmid % cchunk:
+        for d in range(cchunk - 1, 0, -1):
+            if cmid % d == 0:
+                cchunk = d
+                break
+    kern = functools.partial(_exp_dw_kernel, cin=cin, cmid=cchunk, rows=rows,
+                             w=w, w_out=w_out, stride=stride, h=h)
+    return pl.pallas_call(
+        kern,
+        grid=(b, h_out // rows, cmid // cchunk),
+        in_specs=[
+            pl.BlockSpec((1, cin, in_rows, wp),
+                         lambda bi, i, c: main_idx(bi, i)),
+            pl.BlockSpec((1, cin, 8, wp), lambda bi, i, c: top_idx(bi, i)),
+            pl.BlockSpec((1, cin, 8, wp), lambda bi, i, c: halo_idx(bi, i)),
+            pl.BlockSpec((cchunk, cin + 1), lambda bi, i, c: (c, 0)),
+            pl.BlockSpec((9, cchunk, 1, w), lambda bi, i, c: (0, c, 0, 0)),
+            pl.BlockSpec((1, cchunk, 1, w_out),
+                         lambda bi, i, c: (0, c, 0, 0)),
+            sel_spec,
+        ],
+        out_specs=pl.BlockSpec((1, cchunk, rows, w_out),
+                               lambda bi, i, c: (bi, c, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, cmid, h_out, w_out),
+                                       x_planar.dtype),
+        interpret=interpret,
+    )(xp, xp, xp, we, w9, b9, selc)

@@ -152,3 +152,42 @@ def test_mbconv_fused_phases_parity():
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return F.batch_norm(y, *bn3, eps=1e-3) + xx
     np.testing.assert_allclose(ref_res, np.asarray(oracle_res(x)), atol=2e-5)
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_expand_dw_phase_parity(stride):
+    """expand 1x1 + bn0 + swish + dw3x3 (stride 1/2, TF-SAME) + bn1 + swish
+    vs the XLA oracle, interpret mode. The kernel is correct but currently
+    undispatched (measured slower end to end than XLA for expand blocks —
+    see EfficientNet._fusable_prefix)."""
+    from jax import lax
+    from hyperseg_tpu.nn import functional as F
+    from hyperseg_tpu.ops.pallas import mbconv as MB
+
+    rng = np.random.RandomState(0)
+    B, CIN, CMID, H, W = 2, 16, 96, 64, 128
+    x = jnp.asarray(rng.rand(B, H, W, CIN).astype(np.float32))
+    wexp = jnp.asarray(rng.randn(1, 1, CIN, CMID) * 0.2, jnp.float32)
+    wdw = jnp.asarray(rng.randn(3, 3, 1, CMID) * 0.2, jnp.float32)
+    bn0 = [jnp.asarray(rng.rand(CMID) + 0.5), jnp.asarray(rng.randn(CMID) * 0.1),
+           jnp.asarray(rng.randn(CMID) * 0.1), jnp.asarray(rng.rand(CMID) + 0.5)]
+    bn1 = [jnp.asarray(rng.rand(CMID) + 0.5), jnp.asarray(rng.randn(CMID) * 0.1),
+           jnp.asarray(rng.randn(CMID) * 0.1), jnp.asarray(rng.rand(CMID) + 0.5)]
+    pad = [(1, 1), (1, 1)] if stride == 1 else [(0, 1), (0, 1)]
+
+    def oracle(xx):
+        y = lax.conv_general_dilated(
+            xx, wexp, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = F.swish(F.batch_norm(y, *bn0, eps=1e-3))
+        y = lax.conv_general_dilated(
+            y, wdw, (stride, stride), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=CMID)
+        return F.swish(F.batch_norm(y, *bn1, eps=1e-3))
+
+    ref = np.asarray(oracle(x))
+    got = np.asarray(jnp.transpose(MB.expand_dw_phase(
+        jnp.transpose(x, (0, 3, 1, 2)), wexp, bn0, wdw, bn1,
+        stride=stride, interpret=True), (0, 2, 3, 1)))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
