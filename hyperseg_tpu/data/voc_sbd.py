@@ -120,3 +120,17 @@ class VOCSBDDataset(SegDataset):
         if self.masks is None:
             return img, index
         return img, np.array(target).astype(np.int32)
+
+
+if __name__ == "__main__":
+    # smoke main (reference voc_sbd.py:165-191): iterate a dataset directory
+    # given on the command line and report shapes/classes
+    import sys
+
+    root = sys.argv[1] if len(sys.argv) > 1 else "data/vocsbd"
+    ds = VOCSBDDataset(root, sys.argv[2] if len(sys.argv) > 2 else "val.txt")
+    print(f"{len(ds)} pairs, {len(ds.classes)} classes")
+    for i in range(min(3, len(ds))):
+        img, lbl = ds[i]
+        print(f"  [{i}] image {getattr(img, 'size', None) or img.shape} "
+              f"label {np.asarray(lbl).shape}")

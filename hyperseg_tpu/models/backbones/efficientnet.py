@@ -506,3 +506,20 @@ def load_pretrained_backbone(params, weights_path, prefix="backbone."):
             out[key] = v
             n += 1
     return out, n
+
+
+if __name__ == "__main__":
+    # smoke main (reference efficientnet.py __main__): build b0/b1, check the
+    # multi-scale feature pyramid shapes and channel plan
+    import numpy as np
+
+    for name in ("efficientnet-b0", "efficientnet-b1"):
+        m = EfficientNet(name)
+        p = m.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(np.random.rand(1, 128, 192, 3), jnp.float32)
+        feats = m(p, x)
+        shapes = [tuple(f.shape) for f in feats]
+        assert [s[-1] for s in shapes] == m.feat_channels, (shapes,
+                                                           m.feat_channels)
+        print(f"{name}: {len(feats)} features "
+              f"{[s[1:] for s in shapes]}")

@@ -112,3 +112,39 @@ class MetaSequential:
             else:
                 x = c(x)
         return x
+
+
+if __name__ == "__main__":
+    # smoke main (reference meta_conv.py:233-254 / meta_patch.py:260-315):
+    # shape checks + a dynamic-conv FPS micro-benchmark
+    import time
+
+    import jax
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    b, cin, cout, h, w = 2, 8, 12, 32, 48
+    x = jnp.asarray(rng.rand(b, h, w, cin), jnp.float32)
+    wt = jnp.asarray(rng.rand(b, meta_conv2d_hyper_params(cout, cin, 3)),
+                     jnp.float32)
+    y = meta_conv2d(x, wt, out_channels=cout, kernel_size=(3, 3),
+                    padding=((1, 1), (1, 1)))
+    assert y.shape == (b, h, w, cout), y.shape
+    yl = meta_linear(x[:, 0, 0], jnp.asarray(rng.rand(b, cout * cin)),
+                     out_features=cout, in_features=cin)
+    assert yl.shape == (b, cout)
+    wp = jnp.asarray(rng.rand(b, 4, 6, meta_conv2d_hyper_params(cout, cin, 3)))
+    yp = meta_patch_conv2d(x.astype(jnp.float32), wp.astype(jnp.float32),
+                           out_channels=cout, kernel_size=3)
+    assert yp.shape == (b, h, w, cout)
+
+    f = jax.jit(lambda xx, ww: meta_conv2d(xx, ww, out_channels=cout,
+                                           kernel_size=(3, 3),
+                                           padding=((1, 1), (1, 1))))
+    jax.block_until_ready(f(x, wt))
+    t0 = time.perf_counter()
+    for _ in range(100):
+        out = f(x, wt)
+    jax.block_until_ready(out)
+    fps = 100 * b / (time.perf_counter() - t0)
+    print(f"meta ops ok; meta_conv2d {fps:.0f} img/s at {x.shape}")
