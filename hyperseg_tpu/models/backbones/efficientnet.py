@@ -351,10 +351,12 @@ class EfficientNet:
         the XLA path keeps blocks 2+."""
         h, w, n = h2, w2, 0
         for bp in self.blocks:
-            if not (bp.expand == 1 and bp.kernel == 3 and bp.stride == 1
-                    and bp.se_ch is not None
-                    and tuple(bp.dw_pad) == ((1, 1), (1, 1))):
+            ok_pad = (tuple(bp.dw_pad) == ((1, 1), (1, 1)) if bp.stride == 1
+                      else tuple(bp.dw_pad) == ((0, 1), (0, 1)))
+            if not (bp.kernel == 3 and bp.stride in (1, 2) and ok_pad
+                    and bp.se_ch is not None):
                 break
+            h, w = h // bp.stride, w // bp.stride
             if w % 128 or h % 8:
                 break
             n += 1

@@ -174,7 +174,7 @@ def project_phase(hidden, se, w_proj, bn_scale, bn_bias, bn_mean, bn_var, *,
     )(hidden, res, wp_b)
 
 
-def _exp_dw_kernel(xm, xth, xbh, w_e, w9, b9, selc, o_ref, *,
+def _exp_dw_kernel(xm, xth, xbh, w_e, w9, b9, selc, o_ref, acc_ref, *,
                    cin, cmid, rows, w, w_out, stride, h):
     """Expand 1x1 (+bn0+swish) -> depthwise 3x3 (+bn1+swish) for one band.
 
@@ -205,7 +205,9 @@ def _exp_dw_kernel(xm, xth, xbh, w_e, w9, b9, selc, o_ref, *,
         gr = 2 * i * rows + ri
         valid = (gr < h) & (ci < w)
     xe = jnp.where(valid, xe, 0.0).astype(xb.dtype)
-    acc = None
+    # accumulate taps through a VMEM scratch ref: a pure-value chain keeps
+    # all nine (Cmid, R, W) temporaries live and overflows scoped VMEM
+    first = True
     for dy in range(3):
         if stride == 1:
             rsel = xe[:, dy:dy + rows]
@@ -214,7 +216,9 @@ def _exp_dw_kernel(xm, xth, xbh, w_e, w9, b9, selc, o_ref, *,
                 cmid, rows, 2, xe.shape[-1])[:, :, 0]           # rows 2r+dy
         for dx in range(3):
             t = (rsel[:, :, dx:dx + w].astype(jnp.float32) * w9[3 * dy + dx])
-            acc = t if acc is None else acc + t                 # (Cmid,R,W)
+            acc_ref[:] = t if first else acc_ref[:] + t         # (Cmid,R,W)
+            first = False
+    acc = acc_ref[:]
     if stride == 2:
         acc = lax.dot_general(acc.astype(xb.dtype), selc[:],
                               (((2,), (0,)), ((), ())),
@@ -283,11 +287,11 @@ def expand_dw_phase(x_planar, w_expand, bn0, w_dw, bn1, *, stride=1,
         sel_spec = pl.BlockSpec((w, w_out), lambda bi, i, c: (0, 0))
 
     wp = xp.shape[-1]
-    # channel-chunk the expanded domain: Mosaic keeps all nine tap
-    # temporaries live, so a full 96-channel band overflows the 16 MB
-    # scoped VMEM; 16 channels per cell keeps the fp32 stack under ~14 MB
+    # channel-chunk the expanded domain so the per-cell stack (expand
+    # output + scratch accumulator + pipeline buffers) stays inside the
+    # 16 MB scoped VMEM
     cchunk = cmid
-    while cchunk > 16 or cmid % cchunk:
+    while cchunk > 48 or cmid % cchunk:
         for d in range(cchunk - 1, 0, -1):
             if cmid % d == 0:
                 cchunk = d
@@ -312,5 +316,6 @@ def expand_dw_phase(x_planar, w_expand, bn0, w_dw, bn1, *, stride=1,
                                lambda bi, i, c: (bi, c, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, cmid, h_out, w_out),
                                        x_planar.dtype),
+        scratch_shapes=[pltpu.VMEM((cchunk, rows, w), jnp.float32)],
         interpret=interpret,
     )(xp, xp, xp, we, w9, b9, selc)
