@@ -131,11 +131,24 @@ def main(exp_dir, *, model=None, arch=None, test_dataset=None,
         # extra blended column between the input and the prediction
         # (test.py:260-285)
         source_paths = []
+        ds_stems = [os.path.splitext(os.path.basename(p))[0]
+                    for p in getattr(test_ds, "images", [])]
         for d in display_sources or []:
             paths = sorted(glob(os.path.join(d, "*.png")))
             assert len(paths) == len(test_ds), (
                 "all display sources must be directories with the same "
                 "number of images as the dataset")
+            if ds_stems:
+                # match by basename stem, not sort order: a zero-padding or
+                # naming difference would otherwise silently blend the wrong
+                # source under each input
+                by_stem = {os.path.splitext(os.path.basename(p))[0]: p
+                           for p in paths}
+                missing = [s for s in ds_stems if s not in by_stem]
+                assert not missing, (
+                    f"display source {d} has no image for dataset items "
+                    f"{missing[:5]}{'...' if len(missing) > 5 else ''}")
+                paths = [by_stem[s] for s in ds_stems]
             source_paths.append(np.array(paths))
         for tag, idxs in subsets:
             rows = []

@@ -32,9 +32,11 @@ DEFAULT_TENSOR_TRANSFORMS = (
 
 
 def remove_bn(params):
-    """Neutralize every BatchNorm to identity (scale 1, bias 0, stats 0/1) —
-    the functional analogue of replacing BN modules with Unit
-    (test_fps.py:319-332)."""
+    """Neutralize every BatchNorm to identity (scale 1, bias 0, stats 0/1).
+    Paired with F.BN_IDENTITY (set by main) this matches the reference's
+    module removal (test_fps.py:319-332): the XLA graph contains no BN
+    affines at all, and the Pallas kernels that fuse BN inline from raw
+    params compute a near-identity (off only by rsqrt(1+eps))."""
     out = dict(params)
     for k in params:
         if k.endswith(".running_mean"):
@@ -47,10 +49,22 @@ def remove_bn(params):
     return out
 
 
-def main(exp_dir, *, model=None, arch=None, test_dataset=None,
-         img_transforms=None, tensor_transforms=DEFAULT_TENSOR_TRANSFORMS,
-         batch_size=1, workers=4, iterations=None, res=(512, 1024),
-         num_classes=19, compute_dtype="bfloat16", with_remove_bn=False):
+def main(exp_dir, **kwargs):
+    """Wrapper that scopes F.BN_IDENTITY for the remove_bn protocol — the
+    flag is trace-time global state, so it must be restored even on error."""
+    from hyperseg_tpu.nn import functional as F
+    prev = F.BN_IDENTITY
+    F.BN_IDENTITY = bool(kwargs.get("with_remove_bn", False))
+    try:
+        return _main_impl(exp_dir, **kwargs)
+    finally:
+        F.BN_IDENTITY = prev
+
+
+def _main_impl(exp_dir, *, model=None, arch=None, test_dataset=None,
+               img_transforms=None, tensor_transforms=DEFAULT_TENSOR_TRANSFORMS,
+               batch_size=1, workers=4, iterations=None, res=(512, 1024),
+               num_classes=19, compute_dtype="bfloat16", with_remove_bn=False):
     os.makedirs(exp_dir, exist_ok=True)
 
     # model: from checkpoint if present, else bare arch (test_fps.py:139-144)

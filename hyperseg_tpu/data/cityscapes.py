@@ -147,10 +147,10 @@ class CityscapesDataset(SegDataset):
         tgt_zip = os.path.join(
             self.root, f"{self.mode}_trainvaltest.zip" if self.mode == "gtFine"
             else f"{self.mode}.zip")
+        from hyperseg_tpu.utils.download import safe_extract_zip
         for z in (img_zip, tgt_zip):
             if os.path.isfile(z):
-                with zipfile.ZipFile(z) as f:
-                    f.extractall(self.root)
+                safe_extract_zip(z, self.root)
 
     @property
     def color_map(self):

@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tarfile
-from zipfile import ZipFile
 
 import numpy as np
 from PIL import Image
@@ -40,22 +38,21 @@ def extract_local_archives(root, download=True):
 
     Mirrors reference download_extract (voc_sbd.py:102-138); downloads skip
     gracefully offline so a locally staged archive set still works."""
-    from hyperseg_tpu.utils.download import download_url
+    from hyperseg_tpu.utils.download import (download_url, safe_extract_tar,
+                                             safe_extract_zip)
     voc_dir = os.path.join(root, "VOCdevkit", "VOC2012")
     tar_path = os.path.join(root, VOC_TAR)
     if not os.path.isdir(voc_dir) and not os.path.isfile(tar_path) and download:
         download_url(VOC_URL, tar_path)
     if not os.path.isdir(voc_dir) and os.path.isfile(tar_path):
-        with tarfile.open(tar_path) as tar:
-            tar.extractall(path=root)
+        safe_extract_tar(tar_path, root)
     sbd_dir = os.path.join(voc_dir, "SegmentationClassAug")
     zip_path = os.path.join(root, SBD_ZIP)
     if (os.path.isdir(voc_dir) and not os.path.isdir(sbd_dir)
             and not os.path.isfile(zip_path) and download):
         download_url(SBD_URL, zip_path)
     if not os.path.isdir(sbd_dir) and os.path.isfile(zip_path):
-        with ZipFile(zip_path) as z:
-            z.extractall(voc_dir)
+        safe_extract_zip(zip_path, voc_dir)
         tmp = os.path.join(voc_dir, os.path.splitext(SBD_ZIP)[0])
         if os.path.isdir(tmp):
             os.rename(tmp, sbd_dir)
@@ -65,8 +62,7 @@ def extract_local_archives(root, download=True):
             and not os.path.isfile(splits_path) and download):
         download_url(SBD_SPLITS_URL, splits_path)
     if not os.path.isfile(train_list) and os.path.isfile(splits_path):
-        with ZipFile(splits_path) as z:
-            z.extractall(voc_dir)
+        safe_extract_zip(splits_path, voc_dir)
         tmp = os.path.join(voc_dir, "list")
         if os.path.isdir(tmp):
             for f in os.listdir(tmp):

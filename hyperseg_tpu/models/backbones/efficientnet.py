@@ -345,16 +345,21 @@ class EfficientNet:
         (ops/pallas/mbconv.py): expand-1, k3, stride-1, SE blocks — b1's
         block0/1. Expand-ratio blocks (2-4) have a tested kernel
         (expand_dw_phase) but dispatching them was MEASURED SLOWER end to
-        end (281 vs 364 img/s on HyperSeg-M): the 16-channel chunking that
+        end (286 vs 379 img/s on HyperSeg-M): the 16-channel chunking that
         keeps Mosaic's nine live tap temporaries inside the 16 MB scoped
         VMEM costs more in grid overhead than the lane fill recovers, so
-        the XLA path keeps blocks 2+."""
+        the XLA path keeps blocks 2+ unless MBCONV_EXPAND_ENABLED flips
+        that decision for re-measurement."""
+        from hyperseg_tpu.ops import pallas as pallas_cfg
+        if not pallas_cfg.MBCONV_ENABLED:
+            return 0
         h, w, n = h2, w2, 0
         for bp in self.blocks:
             ok_pad = (tuple(bp.dw_pad) == ((1, 1), (1, 1)) if bp.stride == 1
                       else tuple(bp.dw_pad) == ((0, 1), (0, 1)))
             if not (bp.kernel == 3 and bp.stride in (1, 2) and ok_pad
-                    and bp.se_ch is not None):
+                    and bp.se_ch is not None
+                    and (bp.expand == 1 or pallas_cfg.MBCONV_EXPAND_ENABLED)):
                 break
             h, w = h // bp.stride, w // bp.stride
             if w % 128 or h % 8:

@@ -121,11 +121,22 @@ def linear(x, w, b=None):
 # ---------------------------------------------------------------------------
 
 
+# Trace-time switch: when True every eval-mode batch_norm is an exact
+# identity — the functional analogue of the reference's remove_bn replacing
+# BN modules with Unit (test_fps.py:319-332), which benchmarks a genuinely
+# cheaper BN-free model. Set only by cli/test_fps.py (restored in finally);
+# Pallas kernels that fuse BN inline read raw params instead, so callers
+# must pair this with neutralized BN params (cli/test_fps.py remove_bn).
+BN_IDENTITY = False
+
+
 def batch_norm(x, scale, bias, mean, var, *, eps=1e-5):
     """Inference batch norm over the channel (last) axis using running stats.
 
     Folded into a single multiply-add; stats kept in fp32 for stability.
     """
+    if BN_IDENTITY:
+        return x
     inv = lax.rsqrt(var.astype(jnp.float32) + eps)
     w = (scale.astype(jnp.float32) * inv) if scale is not None else inv
     b = -mean.astype(jnp.float32) * w

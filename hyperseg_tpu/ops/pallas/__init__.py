@@ -15,3 +15,13 @@ dominates."""
 
 ENABLED = False
 STEM_ENABLED = True
+
+# Fused planar MBConv prefix chain (ops/pallas/mbconv.py). MBCONV_ENABLED
+# gates the whole chain independently of the stem kernel so the two can be
+# A/B-measured separately (tools/bench_components.py). MBCONV_EXPAND_ENABLED
+# additionally lets expand-ratio (expand>1) blocks dispatch through
+# expand_dw_phase — measured SLOWER end to end on v5e (286 vs 379 img/s on
+# HyperSeg-M: Mosaic keeps all nine depthwise tap temporaries live, forcing
+# 16-channel grid chunking), so it stays off; only expand-1 blocks fuse.
+MBCONV_ENABLED = True
+MBCONV_EXPAND_ENABLED = False

@@ -127,5 +127,7 @@ def patch_batch_norm(xp, scale, bias, mean, var, *, eps=1e-5, training=False,
     """
     if not training:
         return F.batch_norm(xp, scale, bias, mean, var, eps=eps), mean, var
-    return F.batch_norm_train(xp, scale, bias, mean, var, eps=eps,
-                              momentum=momentum, reduce_axes=(0, 1, 2, 3, 4))
+    y, new_mean, new_var, _, _ = F.batch_norm_train(
+        xp, scale, bias, mean, var, eps=eps, momentum=momentum,
+        reduce_axes=(0, 1, 2, 3, 4))
+    return y, new_mean, new_var

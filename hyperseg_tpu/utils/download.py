@@ -15,6 +15,39 @@ import tempfile
 import urllib.request
 
 
+def _is_within(base: str, target: str) -> bool:
+    base = os.path.abspath(base)
+    return os.path.commonpath([base, os.path.abspath(target)]) == base
+
+
+def safe_extract_tar(tar_path: str, dest: str) -> None:
+    """extractall with path-traversal protection: archives arrive over plain
+    HTTP (the reference's URLs), so a tampered member like `../../x` must not
+    write outside `dest`. Uses the stdlib "data" filter where available."""
+    import tarfile
+    with tarfile.open(tar_path) as tar:
+        try:
+            tar.extractall(path=dest, filter="data")
+        except TypeError:  # Python < 3.12 security backport absent
+            for m in tar.getmembers():
+                if not _is_within(dest, os.path.join(dest, m.name)):
+                    raise RuntimeError(
+                        f"unsafe tar member path: {m.name!r} in {tar_path}")
+            tar.extractall(path=dest)
+
+
+def safe_extract_zip(zip_path, dest: str) -> None:
+    """ZipFile.extractall with explicit member-path validation (zipfile
+    already sanitizes most traversal forms, but fail loud, not quietly)."""
+    from zipfile import ZipFile
+    src = ZipFile(zip_path) if isinstance(zip_path, (str, os.PathLike)) else zip_path
+    with src as z:
+        for name in z.namelist():
+            if name.startswith("/") or ".." in name.split("/"):
+                raise RuntimeError(f"unsafe zip member path: {name!r}")
+        z.extractall(dest)
+
+
 def download_url(url: str, dest: str, *, timeout: float = 30.0,
                  progress: bool = True) -> bool:
     """Fetch `url` to `dest` atomically. Returns False on any network error

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 from PIL import Image
 
@@ -163,3 +164,42 @@ def test_reference_scores_cache_and_display_sources(tmp_path):
         g = np.array(Image.open(exp_dir / "test" / f"{tag}.png"))
         # input + source + pred + gt columns (plus inter-column padding)
         assert 96 * 4 <= g.shape[1] < 96 * 5
+
+
+def test_remove_bn_elides_bn_compute(tmp_path):
+    """remove_bn must benchmark a genuinely cheaper BN-free model (reference
+    test_fps.py:319-332 replaces BN modules with Unit), not an identity
+    affine that still executes: outputs differ from the BN model, and the
+    trace-time flag is restored afterwards."""
+    import jax
+    from hyperseg_tpu.core import registry
+    from hyperseg_tpu.cli import test_fps as fps_cli
+    from hyperseg_tpu.nn import functional as F
+
+    model = registry.build(TINY_ARCH, num_classes=12)
+    params = model.init(jax.random.PRNGKey(0))
+    # fresh init is degenerate for this check: the zero-initialized output
+    # head makes every logit exactly 0, and BN stats are already identity.
+    # Perturb all params (noise) + running stats so BN genuinely acts.
+    rs = np.random.RandomState(1)
+    params = {k: (jnp.asarray(rs.rand(*v.shape) + 0.5, v.dtype)
+                  if k.endswith(".running_var")
+                  else v + jnp.asarray(rs.randn(*v.shape) * 0.05, v.dtype))
+              for k, v in params.items()}
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 96, 3), jnp.float32)
+
+    y_bn = model(params, x)
+    assert F.BN_IDENTITY is False
+    try:
+        F.BN_IDENTITY = True
+        y_unit = model(fps_cli.remove_bn(params), x)
+    finally:
+        F.BN_IDENTITY = False
+    # BN-free model is a different (cheaper) network — outputs must differ
+    assert not np.allclose(np.asarray(y_bn), np.asarray(y_unit))
+
+    # end-to-end: the CLI runs the BN-free protocol and restores the flag
+    fps = fps_cli.main(str(tmp_path), arch=TINY_ARCH, batch_size=1,
+                       iterations=2, res=(64, 96), num_classes=12,
+                       compute_dtype="float32", with_remove_bn=True)
+    assert fps > 0 and F.BN_IDENTITY is False

@@ -1,0 +1,58 @@
+"""Kernel-dispatch policy pins.
+
+Every measured ON/OFF decision recorded in BENCHMARKS.md is asserted here so
+a silent dispatch change (which no numerical test can catch — the kernels are
+exact) fails loudly. Round-2 postmortem: `_fusable_prefix` lost its
+`expand == 1` gate, the slower expand_dw_phase kernel dispatched for blocks
+2-4, and the headline dropped 379 -> 286 img/s with all 139 tests green.
+"""
+
+import pytest
+
+from hyperseg_tpu.models.backbones.efficientnet import EfficientNet
+from hyperseg_tpu.ops import pallas as pallas_cfg
+
+
+# (backbone, post-stem h2 x w2 for each benchmark config, expected prefix)
+# The fused planar MBConv chain absorbs exactly the leading expand-1 blocks
+# (b1/b3 stage 1: two blocks) at every benchmark shape; expand-ratio blocks
+# stay XLA by measurement (286 vs 379 img/s on HyperSeg-M, BENCHMARKS.md).
+BENCH_SHAPES = [
+    ("efficientnet-b1", (256, 512), 2),   # hyperseg-m cityscapes 1024x512
+    ("efficientnet-b1", (384, 768), 2),   # hyperseg-s cityscapes 1536x768
+    ("efficientnet-b1", (288, 384), 2),   # hyperseg-s camvid 768x576
+    ("efficientnet-b1", (384, 512), 2),   # hyperseg-l camvid 1024x768
+    ("efficientnet-b3", (256, 256), 2),   # hyperseg-l voc 512x512
+]
+
+
+@pytest.mark.parametrize("name,h2w2,want", BENCH_SHAPES)
+def test_fusable_prefix_is_expand1_blocks_only(name, h2w2, want):
+    bb = EfficientNet(name, out_feat_scale=0.25, head=None)
+    got = bb._fusable_prefix(*h2w2)
+    assert got == want, (
+        f"{name}@{h2w2}: fused MBConv prefix {got} != measured-fastest "
+        f"{want} — expand-ratio blocks must NOT dispatch expand_dw_phase "
+        f"(BENCHMARKS.md: 286 vs 379 img/s)")
+    # the absorbed blocks really are the expand-1 ones
+    for i in range(got):
+        assert bb.blocks[i].expand == 1
+
+
+def test_fusable_prefix_respects_flags(monkeypatch):
+    bb = EfficientNet("efficientnet-b1", out_feat_scale=0.25, head=None)
+    monkeypatch.setattr(pallas_cfg, "MBCONV_ENABLED", False)
+    assert bb._fusable_prefix(256, 512) == 0
+    monkeypatch.setattr(pallas_cfg, "MBCONV_ENABLED", True)
+    monkeypatch.setattr(pallas_cfg, "MBCONV_EXPAND_ENABLED", True)
+    # with the expand gate lifted, the chain extends past block 1 (the
+    # re-measurement configuration — not the shipped default)
+    assert bb._fusable_prefix(256, 512) > 2
+
+
+def test_shipped_flag_defaults():
+    """The shipped flag set IS the measured-fastest configuration."""
+    assert pallas_cfg.STEM_ENABLED is True
+    assert pallas_cfg.MBCONV_ENABLED is True
+    assert pallas_cfg.MBCONV_EXPAND_ENABLED is False
+    assert pallas_cfg.ENABLED is False  # patch_invres: measured slower
