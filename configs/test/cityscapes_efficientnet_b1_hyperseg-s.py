@@ -9,19 +9,26 @@ from hyperseg_tpu.core.registry import Spec
 
 T = "hyperseg_tpu.data.seg_transforms."
 
-if __name__ == "__main__":
-    exp_name = os.path.splitext(os.path.basename(__file__))[0]
-    exp_dir = os.path.join("tests_out", exp_name)
-    # native .npz checkpoint or a reference .pth (converted on load)
-    model = os.path.join("weights", exp_name + ".npz")
-    if not os.path.isfile(model):
-        model = os.path.join("weights", exp_name + ".pth")
-    data_dir = sys.argv[1] if len(sys.argv) > 1 else "data/cityscapes"
+EXP_NAME = 'cityscapes_efficientnet_b1_hyperseg-s'
 
+
+def build_kwargs(data_dir=None, model=None):
+    """Kwargs for hyperseg_tpu.cli.test.main — shared by __main__ and
+    tools/verify_release.py so the release drill runs the exact shipped
+    recipe."""
+    data_dir = data_dir or 'data/cityscapes'
+    if model is None:
+        # native .npz checkpoint or a reference .pth (converted on load)
+        model = os.path.join("weights", EXP_NAME + ".npz")
+        if not os.path.isfile(model):
+            model = os.path.join("weights", EXP_NAME + ".pth")
     test_dataset = Spec("hyperseg_tpu.data.cityscapes.CityscapesDataset", (data_dir, "val", "fine", "semantic"))
     img_transforms = [Spec(T + "ImageResize", ([768, 1536],))]
-    
+    return dict(model=model, test_dataset=test_dataset,
+                img_transforms=img_transforms, forced=True)
 
+
+if __name__ == "__main__":
+    exp_dir = os.path.join("tests_out", EXP_NAME)
     os.makedirs(exp_dir, exist_ok=True)
-    main(exp_dir, model=model, test_dataset=test_dataset,
-         img_transforms=img_transforms, forced=True)
+    main(exp_dir, **build_kwargs(sys.argv[1] if len(sys.argv) > 1 else None))

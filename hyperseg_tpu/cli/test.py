@@ -34,7 +34,9 @@ DEFAULT_TENSOR_TRANSFORMS = (
 def _build_list(specs):
     if specs is None:
         return []
-    return [registry.build(s) if isinstance(s, str) else s for s in specs]
+    return [registry.build(s) if isinstance(s, str)
+            else s.build() if isinstance(s, registry.Spec) else s
+            for s in specs]
 
 
 def main(exp_dir, *, model=None, arch=None, test_dataset=None,

@@ -89,7 +89,8 @@ def _main_impl(exp_dir, *, model=None, arch=None, test_dataset=None,
 
     # data: real loader or synthetic batches
     if test_dataset is not None:
-        tf = Compose([registry.build(t) if isinstance(t, str) else t
+        tf = Compose([registry.build(t) if isinstance(t, str)
+                      else t.build() if isinstance(t, registry.Spec) else t
                       for t in (list(img_transforms or []) + list(tensor_transforms))])
         ds = registry.build(test_dataset, transforms=tf)
         num_classes = len(ds.classes)

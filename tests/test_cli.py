@@ -203,3 +203,49 @@ def test_remove_bn_elides_bn_compute(tmp_path):
                        iterations=2, res=(64, 96), num_classes=12,
                        compute_dtype="float32", with_remove_bn=True)
     assert fps > 0 and F.BN_IDENTITY is False
+
+
+@pytest.mark.slow
+def test_verify_release_drill(tmp_path):
+    """tools/verify_release.py end-to-end on synthetic stand-ins: a tiny-arch
+    checkpoint named like a released config + a tiny CamVid dir -> the drill
+    converts/loads, runs the shipped eval recipe, and reports the table."""
+    import json
+    import jax
+    import importlib.util
+    from hyperseg_tpu.core import registry
+
+    spec = importlib.util.spec_from_file_location(
+        "verify_release", os.path.join(os.path.dirname(__file__), "..",
+                                       "tools", "verify_release.py"))
+    vr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vr)
+
+    data_dir = tmp_path / "camvid"
+    make_camvid(data_dir)
+    os.rename(data_dir / "val", data_dir / "test")
+    os.rename(data_dir / "val_labels", data_dir / "test_labels")
+
+    arch = TINY_ARCH[:-1] + ", num_classes=12)"
+    model = registry.build(arch)
+    params = model.init(jax.random.PRNGKey(0))
+    wdir = tmp_path / "weights"
+    os.makedirs(wdir)
+    name = "camvid_efficientnet_b1_hyperseg-s"
+    np.savez(wdir / f"{name}.npz", **{k: np.asarray(v)
+                                      for k, v in params.items()})
+    with open(wdir / f"{name}.json", "w") as f:
+        json.dump({"arch": arch}, f)
+
+    rows = vr.main(["--weights", str(wdir), "--camvid", str(data_dir),
+                    "--out", str(tmp_path / "out"), "--only", name,
+                    "--tolerance", "100"])
+    evaluated = {n: (m, s) for n, m, _t, s in rows}
+    assert evaluated[name][1] == "ok"
+    assert 0.0 <= evaluated[name][0] <= 100.0
+    assert os.path.isfile(tmp_path / "out" / name / "test" / "scores.npz")
+
+    # missing weights/datasets -> clean skip rows, exit 0
+    rows2 = vr.main(["--weights", str(tmp_path / "empty"),
+                     "--out", str(tmp_path / "out2")])
+    assert all("skipped" in s for _n, _m, _t, s in rows2)
