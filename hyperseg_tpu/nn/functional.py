@@ -303,6 +303,11 @@ def resize_bilinear(x, out_hw):
     oh, ow = out_hw
     if (h, w) == (oh, ow):
         return x
+    from hyperseg_tpu.ops import pallas as pallas_cfg
+    if pallas_cfg.RESIZE_ENABLED and jax.default_backend() == "tpu":
+        from hyperseg_tpu.ops.pallas import resize as resize_k
+        if resize_k.supported(x.shape, out_hw):
+            return resize_k.resize_bilinear_kernel(x, tuple(out_hw))
     dt = x.dtype
     my = jnp.asarray(_linear_resize_matrix(h, oh), dtype=jnp.float32)
     mx = jnp.asarray(_linear_resize_matrix(w, ow), dtype=jnp.float32)

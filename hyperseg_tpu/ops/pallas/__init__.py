@@ -25,3 +25,14 @@ STEM_ENABLED = True
 # 16-channel grid chunking), so it stays off; only expand-1 blocks fuse.
 MBCONV_ENABLED = True
 MBCONV_EXPAND_ENABLED = False
+
+# Banded-MXU integer-scale bilinear upsample (ops/pallas/resize.py) for the
+# final logit upsample — differentiable (custom_vjp), dispatches in both
+# train and eval when the shape gate (resize.supported) passes. OFF by
+# measurement: the round-2 "0.35 ms final resize" was mostly timing-harness
+# overhead (identity-loop baseline 0.16-0.19 ms/iter); the true XLA resize
+# is ~0.09 ms at the flagship shape and the kernel measured ~0.11 ms
+# (tools/bench_resize history: G=1 concat 0.25, G=4 0.30, sum-of-dots
+# 0.25-0.28 raw, all before baseline subtraction). Kept for larger-tensor
+# regimes where the banded matmuls amortize better.
+RESIZE_ENABLED = False

@@ -56,3 +56,4 @@ def test_shipped_flag_defaults():
     assert pallas_cfg.MBCONV_ENABLED is True
     assert pallas_cfg.MBCONV_EXPAND_ENABLED is False
     assert pallas_cfg.ENABLED is False  # patch_invres: measured slower
+    assert pallas_cfg.RESIZE_ENABLED is False  # XLA ~0.09 vs kernel ~0.11 ms

@@ -191,3 +191,48 @@ def test_expand_dw_phase_parity(stride):
         jnp.transpose(x, (0, 3, 1, 2)), wexp, bn0, wdw, bn1,
         stride=stride, interpret=True), (0, 2, 3, 1)))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("shape,scale", [
+    ((1, 16, 32, 19), 2),    # HyperSeg-M-like: 19ch, WC=608 not 128-mult -> gate
+    ((1, 16, 32, 8), 2),     # WC=256 supported
+    ((2, 8, 64, 16), 2),     # batch of 2, WC=1024
+    ((1, 8, 32, 12), 4),     # 4x scale (VOC-like channel count at WC=384)
+    ((1, 8, 128, 4), 3),     # 3x scale
+])
+def test_resize_kernel_matches_oracle(shape, scale):
+    """Banded-MXU bilinear upsample vs the dense-matmul oracle (interpret
+    mode), plus the custom-vjp backward vs the oracle's autodiff."""
+    from hyperseg_tpu.ops.pallas import resize as R
+    from hyperseg_tpu.nn import functional as F
+
+    b, h, w, c = shape
+    out_hw = (h * scale, w * scale)
+    if not R.supported(shape, out_hw):
+        assert (w * c) % 128 != 0  # only reason these shapes can fall back
+        return
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(*shape), jnp.float32)
+
+    want = F.resize_bilinear(x, out_hw)
+    got = R._forward(x, out_hw, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    # backward: custom-vjp transpose vs autodiff of the oracle
+    g = jnp.asarray(rng.randn(b, *out_hw, c), jnp.float32)
+    _, vjp_oracle = jax.vjp(lambda xx: F.resize_bilinear(xx, out_hw), x)
+    dx_want = vjp_oracle(g)[0]
+    dx_got = R._bwd(out_hw, shape, g)[0]
+    np.testing.assert_allclose(np.asarray(dx_got), np.asarray(dx_want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_resize_kernel_supported_gate():
+    from hyperseg_tpu.ops.pallas import resize as R
+    assert R.supported((1, 256, 512, 19), (512, 1024))   # flagship 2x
+    assert R.supported((1, 128, 128, 21), (512, 512))    # VOC 4x
+    assert not R.supported((1, 256, 512, 19), (768, 1024))  # mixed scale
+    assert not R.supported((1, 255, 512, 19), (510, 1024))  # h % 8
+    assert not R.supported((1, 16, 32, 19), (32, 64))       # WC % 128
+    assert not R.supported((1, 256, 512, 19), (256, 512))   # identity
