@@ -9,7 +9,11 @@ perturbed per iteration to prevent loop-invariant hoisting) with a single
 scalar readback — this measures pure device throughput. Naive async-dispatch
 timing is invalid on this tunneled platform (block_until_ready returns before
 device completion), and per-call readbacks would bill one network RTT per
-batch.
+batch. A fixed ~40 ms per-call dispatch cost rides every loop invocation
+(measured round 3 via identity bodies at 50/200/1000 iters: 0.87/0.19/0.044
+ms/iter — pure 1/iters scaling), so iters defaults to 1000 to keep that
+constant bias under ~2%; rounds 1-2 ran iters=100 and under-reported all
+throughputs by ~15%.
 """
 
 import json
@@ -24,7 +28,7 @@ from jax import lax
 BASELINE_FPS = 36.9
 
 
-def device_loop_fps(model, params, batch, res=(512, 1024), iters=100, dtype=jnp.bfloat16):
+def device_loop_fps(model, params, batch, res=(512, 1024), iters=1000, dtype=jnp.bfloat16):
     @jax.jit
     def loop(p, x):
         def body(i, acc):
@@ -45,7 +49,7 @@ def main():
     from __graft_entry__ import HYPERSEG_M_KW
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
 
     model = V1.hyperseg_efficientnet("efficientnet-b1", **HYPERSEG_M_KW)
     params = model.init(jax.random.PRNGKey(0))

@@ -43,7 +43,7 @@ CONFIGS = [
 ]
 
 
-def fps_of(model, params, res, batch=1, iters=100):
+def fps_of(model, params, res, batch=1, iters=400):
     @jax.jit
     def loop(p, x):
         def body(i, acc):
@@ -59,6 +59,10 @@ def fps_of(model, params, res, batch=1, iters=100):
 
 
 def main():
+    import sys
+    from hyperseg_tpu.utils.profile import model_profile
+    batches = [int(a) for a in sys.argv[1:]] or [1, 8]
+
     rows = []
     for name, spec, res, base in CONFIGS:
         model = registry.parse_spec(spec).build()
@@ -66,17 +70,34 @@ def main():
         params = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16)
             if a.dtype == jnp.float32 and a.ndim >= 2 else a, params)
-        fps = fps_of(model, params, res)
-        rec = {"metric": f"{name}_fps", "value": round(fps, 2), "unit": "img/s",
-               "vs_baseline": round(fps / base, 3) if base else None}
-        print(json.dumps(rec), flush=True)
-        rows.append((name, res, fps, base))
+        try:
+            _, total = model_profile(model, res, print_table=False)
+            gmacs = total.macs / 1e9
+        except Exception:
+            gmacs = None
+        for batch in batches:
+            fps = fps_of(model, params, res, batch=batch,
+                         iters=max(400 // batch, 50))
+            # achieved TFLOP/s against the analytic MAC count (2 FLOPs/MAC);
+            # MFU denominator: 197 TFLOP/s bf16 peak (v5e datasheet; chip
+            # probes measure 165-240 depending on shape)
+            tflops = (2 * gmacs * fps / 1e3) if gmacs else None
+            rec = {"metric": f"{name}_fps", "batch": batch,
+                   "value": round(fps, 2), "unit": "img/s",
+                   "vs_baseline": round(fps / base, 3) if base else None,
+                   "achieved_tflops": round(tflops, 2) if tflops else None,
+                   "mfu_pct": round(100 * tflops / 197, 1) if tflops else None}
+            print(json.dumps(rec), flush=True)
+            rows.append((name, res, batch, fps, base, tflops))
 
-    print("\n| config | resolution | TPU v5e img/s | 1080Ti img/s | speedup |")
-    print("|---|---|---|---|---|")
-    for name, res, fps, base in rows:
-        spd = f"{fps / base:.1f}x" if base else "-"
-        print(f"| {name} | {res[1]}x{res[0]} | {fps:.1f} | {base or '-'} | {spd} |")
+    print("\n| config | resolution | batch | TPU v5e img/s | 1080Ti img/s "
+          "| speedup | TFLOP/s (MFU) |")
+    print("|---|---|---|---|---|---|---|")
+    for name, res, batch, fps, base, tflops in rows:
+        spd = f"{fps / base:.1f}x" if (base and batch == 1) else "-"
+        mfu = f"{tflops:.1f} ({100 * tflops / 197:.1f}%)" if tflops else "-"
+        print(f"| {name} | {res[1]}x{res[0]} | {batch} | {fps:.1f} "
+              f"| {base if batch == 1 and base else '-'} | {spd} | {mfu} |")
 
 
 if __name__ == "__main__":

@@ -86,6 +86,9 @@ def main(exp_dir, *, model=None, arch=None, test_dataset=None,
     if forced or not os.path.isfile(scores_path):
         confmat = jnp.zeros((num_classes, num_classes), jnp.int32)
         ious = []
+        # tqdm-parity meter (reference test.py:156 wraps the loader in tqdm)
+        from hyperseg_tpu.utils.logging import ProgressMeter
+        pbar = ProgressMeter(len(loader), unit="batches")
         for i, batch in enumerate(loader):
             if isinstance(batch["image"], (list, tuple)):
                 b = {"image": [jnp.asarray(p) for p in batch["image"]],
@@ -102,6 +105,8 @@ def main(exp_dir, *, model=None, arch=None, test_dataset=None,
                 ious.append(M.per_image_jaccard(
                     labels[j], preds[j], num_classes,
                     ignore_index=display_background_index))
+            pbar.update()
+        pbar.close()
         ious = np.array(ious)
         global_acc, class_acc, class_iou = M.eval_scores_from_confmat(
             np.asarray(confmat))

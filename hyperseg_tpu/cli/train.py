@@ -29,7 +29,7 @@ from hyperseg_tpu.train import losses as L
 from hyperseg_tpu.train import metrics as M
 from hyperseg_tpu.train import schedule as S
 from hyperseg_tpu.train import step as T
-from hyperseg_tpu.utils.logging import TensorBoardLogger
+from hyperseg_tpu.utils.logging import ProgressMeter, TensorBoardLogger
 
 DEFAULT_TENSOR_TRANSFORMS = (
     "hyperseg_tpu.data.seg_transforms.ToArray()",
@@ -146,8 +146,12 @@ def main(exp_dir, *, model, train_dataset, val_dataset=None,
 
     def process_epoch(loader, train: bool, epoch: int):
         nonlocal state
-        phase = "train" if train else "val"
-        logger.reset(prefix=f"{phase} {epoch}/{epochs};")
+        phase = "TRAINING" if train else "VALIDATION"
+        logger.reset(prefix=f"{phase}: Epoch: {epoch + 1} / {epochs};")
+        # tqdm-parity live meter (reference train.py:97): counter/rate tick
+        # every batch with no device sync; the description (str(logger))
+        # refreshes only at the log_every sync points
+        pbar = ProgressMeter(len(loader), unit="batches")
         confmat = jnp.zeros((num_classes, num_classes), jnp.int32)
         loss_sum, steps = 0.0, 0
         for i, batch in enumerate(loader):
@@ -160,11 +164,13 @@ def main(exp_dir, *, model, train_dataset, val_dataset=None,
                 if (i + 1) % log_every == 0:
                     loss = float(metrics["loss"])
                     scores = M.scores_from_confmat(confmat)
-                    logger.update("losses", loss=loss)
-                    logger.update("metrics", iou=scores["mean_iou"])
-                    logger.log_scalars_val(f"{phase}", epoch * steps_per_epoch + i)
-                    print(f"  [{phase} {epoch} {i + 1}/{len(loader)}] "
-                          f"loss={loss:.4f} mIoU={scores['mean_iou']:.4f}")
+                    logger.update("losses", total=loss)
+                    logger.update("bench", iou=scores["mean_iou"])
+                    # reference train.py:146: per-batch scalars under 'batch'
+                    # at total-sample step
+                    logger.log_scalars_val(
+                        "batch", (epoch * steps_per_epoch + i) * batch_size)
+                    pbar.set_description(str(logger))
                     loss_sum += loss
                     steps += 1
             else:
@@ -187,11 +193,20 @@ def main(exp_dir, *, model, train_dataset, val_dataset=None,
                         img, blend_seg(img, pred, train_ds.color_map),
                         blend_seg(img, lbl, train_ds.color_map))
                     logger.log_image("val/pred", grid, epoch)
+            pbar.update()
         scores = M.scores_from_confmat(confmat)
         if not train:
+            logger.update("bench", iou=scores["mean_iou"])
+            pbar.set_description(str(logger))
             names = [getattr(c, "name", str(c)) for c in train_ds.classes]
             logger.log_heatmap("val/confusion", np.asarray(confmat), epoch,
                                labels=names)
+        pbar.close()
+        # reference train.py:150-151: epoch-averaged losses + current bench
+        logger.log_scalars_avg(f"epoch/{'train' if train else 'val'}", epoch,
+                               category="losses")
+        logger.log_scalars_val(f"epoch/{'train' if train else 'val'}", epoch,
+                               category="bench")
         return (loss_sum / max(steps, 1)), scores["mean_iou"]
 
     for epoch in range(start_epoch, epochs):

@@ -420,8 +420,10 @@ class EfficientNet:
                   if self._stem_kernel_ok(x, ctx) else 0)
         feats = []
         if fuse_n:
-            x = self._stem_bn_act(params, x, ctx, planar=True)
-            x, raw_feats = self._fused_prefix_blocks(params, x, fuse_n)
+            with jax.named_scope("stem"):
+                x = self._stem_bn_act(params, x, ctx, planar=True)
+            with jax.named_scope("fused_blocks"):
+                x, raw_feats = self._fused_prefix_blocks(params, x, fuse_n)
             for rf in raw_feats:
                 fc = (self.feat_fc[len(feats)]
                       if self.out_feat_scale is not None else None)
@@ -432,7 +434,8 @@ class EfficientNet:
                     f = self._bn(params, f"_feat_fc_{len(feats)}.1", f, ctx)
                     feats.append(f)
         else:
-            x = self._stem_bn_act(params, x, ctx)
+            with jax.named_scope("stem"):
+                x = self._stem_bn_act(params, x, ctx)
 
         n = len(self.blocks)
         rngs = jax.random.split(rng, n) if (train and rng is not None) else [None] * n
@@ -440,21 +443,22 @@ class EfficientNet:
             if i < fuse_n:
                 continue
             drop_rate = self.drop_connect_rate * i / n if self.drop_connect_rate else 0.0
-            if train and self.remat:
-                # remat-safe: the block runs in its own Ctx so BN-state
-                # updates flow through the checkpointed function as outputs
-                def block_fn(p_, x_, r_, bp_=bp, i_=i, dr_=drop_rate):
-                    bctx = F.Ctx(train=True, rng=None)
-                    y_ = self._block(p_, f"_blocks.{i_}", bp_, x_, bctx,
-                                     drop_rate=dr_, rng=r_)
-                    return y_, bctx.updates
-                r_i = rngs[i] if rngs[i] is not None else jax.random.PRNGKey(0)
-                x, upd = jax.checkpoint(block_fn)(params, x, r_i)
-                if ctx is not None:
-                    ctx.updates.update(upd)
-            else:
-                x = self._block(params, f"_blocks.{i}", bp, x, ctx,
-                                drop_rate=drop_rate, rng=rngs[i])
+            with jax.named_scope(f"_blocks.{i}"):
+                if train and self.remat:
+                    # remat-safe: the block runs in its own Ctx so BN-state
+                    # updates flow through the checkpointed function as outputs
+                    def block_fn(p_, x_, r_, bp_=bp, i_=i, dr_=drop_rate):
+                        bctx = F.Ctx(train=True, rng=None)
+                        y_ = self._block(p_, f"_blocks.{i_}", bp_, x_, bctx,
+                                         drop_rate=dr_, rng=r_)
+                        return y_, bctx.updates
+                    r_i = rngs[i] if rngs[i] is not None else jax.random.PRNGKey(0)
+                    x, upd = jax.checkpoint(block_fn)(params, x, r_i)
+                    if ctx is not None:
+                        ctx.updates.update(upd)
+                else:
+                    x = self._block(params, f"_blocks.{i}", bp, x, ctx,
+                                    drop_rate=drop_rate, rng=rngs[i])
             if bp.is_feat:
                 fc = self.feat_fc[len(feats)] if self.out_feat_scale is not None else None
                 if fc is None:

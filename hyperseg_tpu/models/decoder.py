@@ -403,6 +403,7 @@ class MultiScaleDecoderV1:
         excluded); s: signal (B, fh, fw, C) at stride 32."""
         p = None
         for lv, units in enumerate(self.level_units):
+          with jax.named_scope(f"level_{lv}"):
             feat = xs[-lv - 1]
             if p is None:
                 p = feat
@@ -424,16 +425,18 @@ class MultiScaleDecoderV1:
                 p = apply_unit(params, u, p, w, ctx, remat=self.remat)
                 base += u.hyper_params
 
-        for u in self.out_fc_units:
-            # reference out_fc = MetaSequential(Dropout2d(dropout), conv)
-            # (hyperseg_v1_0.py:166-171) — train-mode only
-            if self.dropout and ctx is not None and ctx.train:
-                p = F.dropout2d(p, self.dropout, ctx.next_rng(9100))
-            w = apply_signal2weights(params, s, u.s2w)
-            p = u.apply(params, p, w, ctx)
+        with jax.named_scope("out_fc"):
+            for u in self.out_fc_units:
+                # reference out_fc = MetaSequential(Dropout2d(dropout), conv)
+                # (hyperseg_v1_0.py:166-171) — train-mode only
+                if self.dropout and ctx is not None and ctx.train:
+                    p = F.dropout2d(p, self.dropout, ctx.next_rng(9100))
+                w = apply_signal2weights(params, s, u.s2w)
+                p = u.apply(params, p, w, ctx)
 
-        if p.shape[1:3] != xs[0].shape[1:3]:
-            p = F.resize_bilinear(p, xs[0].shape[1:3])
+        with jax.named_scope("final_resize"):
+            if p.shape[1:3] != xs[0].shape[1:3]:
+                p = F.resize_bilinear(p, xs[0].shape[1:3])
         return p
 
 

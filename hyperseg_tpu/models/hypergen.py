@@ -80,13 +80,18 @@ class HyperGen:
         bctx = None
         if ctx is not None:
             bctx = F.Ctx(train=ctx.train, rng=ctx.rng)
-        feats = self.backbone(self._backbone_params(params), x, bctx)
+        # named_scope boundaries feed the generic scope profiler
+        # (utils/profile.py flops_by_scope — the hook-registry analogue)
+        with jax.named_scope("backbone"):
+            feats = self.backbone(self._backbone_params(params), x, bctx)
         if bctx is not None and bctx.updates:
             ctx.updates.update({f"backbone.{k}": v for k, v in bctx.updates.items()})
             ctx.batch_stats.update({f"backbone.{k}": v
                                     for k, v in bctx.batch_stats.items()})
-        s = self.weight_mapper(params, feats[-1], ctx)
-        return self.decoder(params, [x] + feats[:-1], s, ctx)
+        with jax.named_scope("weight_mapper"):
+            s = self.weight_mapper(params, feats[-1], ctx)
+        with jax.named_scope("decoder"):
+            return self.decoder(params, [x] + feats[:-1], s, ctx)
 
     def apply_train(self, params, x, rng):
         """Training forward: returns (logits, state_updates) where

@@ -59,13 +59,18 @@ class TensorBoardLogger:
             name = f"{category}/{k}"
             self.meters.setdefault(name, AverageMeter()).update(v)
 
-    def log_scalars_val(self, main_tag: str, global_step: int):
-        self._write({k: m.val for k, m in self.meters.items()
-                     if k.startswith(main_tag)}, global_step, suffix="val")
+    def log_scalars_val(self, main_tag: str, global_step: int, category=None):
+        """Write current values under ``main_tag/<category>/<key>`` — the
+        reference's add_scalars(main_tag + '/' + category, ...) semantics
+        (tensorboard_logger.py:45-53). category=None writes all meters."""
+        self._write({f"{main_tag}/{k}": m.val for k, m in self.meters.items()
+                     if category is None or k.startswith(category + "/")},
+                    global_step, suffix="val")
 
-    def log_scalars_avg(self, main_tag: str, global_step: int):
-        self._write({k: m.avg for k, m in self.meters.items()
-                     if k.startswith(main_tag)}, global_step, suffix="avg")
+    def log_scalars_avg(self, main_tag: str, global_step: int, category=None):
+        self._write({f"{main_tag}/{k}": m.avg for k, m in self.meters.items()
+                     if category is None or k.startswith(category + "/")},
+                    global_step, suffix="avg")
 
     def log_image(self, tag: str, img_hwc: np.ndarray, global_step: int):
         if self.writer is not None:
@@ -112,7 +117,80 @@ class TensorBoardLogger:
             self._jsonl.flush()
 
     def __str__(self):
-        parts = [self.prefix] if self.prefix else []
-        parts += [f"{k.split('/')[-1]}: {m.val:.4g} ({m.avg:.4g})"
-                  for k, m in self.meters.items()]
-        return "; ".join(parts)
+        """Reference progress-bar description format
+        (tensorboard_logger.py:88-96): ``prefix losses: [total: v (avg); ]``,
+        grouped by category."""
+        desc = self.prefix or ""
+        by_cat: "OrderedDict[str, list]" = OrderedDict()
+        for k, m in self.meters.items():
+            cat, _, key = k.partition("/")
+            by_cat.setdefault(cat, []).append((key, m))
+        for cat, items in by_cat.items():
+            desc += f" {cat}: ["
+            for key, m in items:
+                desc += f"{key}: {m.val:.4f} ({m.avg:.4f}); "
+            desc += "]"
+        return desc
+
+
+class ProgressMeter:
+    """tqdm-style single-line progress meter (the reference wraps its loaders
+    in tqdm and calls pbar.set_description(str(logger)), train.py:97,144).
+
+    Dependency-free: rewrites the line in place on TTYs and falls back to
+    plain prints on description changes otherwise (CI/pipe-friendly). The
+    counter/rate update costs no device sync — callers refresh the
+    description only at their existing metric sync points, preserving the
+    async-dispatch training loop (the reference syncs every batch; we
+    deliberately don't)."""
+
+    def __init__(self, total: int, unit: str = "batches", stream=None,
+                 min_interval: float = 0.25):
+        import sys
+        self.total = max(int(total), 1)
+        self.unit = unit
+        self.stream = stream if stream is not None else sys.stderr
+        self.min_interval = min_interval
+        self.desc = ""
+        self.n = 0
+        self._t0 = time.time()
+        self._last_render = 0.0
+        self._isatty = bool(getattr(self.stream, "isatty", lambda: False)())
+
+    def set_description(self, desc: str):
+        self.desc = desc
+        if not self._isatty:
+            el = time.time() - self._t0
+            rate = self.n / el if el > 0 else 0.0
+            print(f"{desc} | {self.n}/{self.total} "
+                  f"[{rate:.1f} {self.unit}/s]", file=self.stream, flush=True)
+        else:
+            self._render(force=True)
+
+    def update(self, n: int = 1):
+        self.n += n
+        if self._isatty:
+            self._render()
+
+    def _render(self, force: bool = False):
+        now = time.time()
+        if not force and now - self._last_render < self.min_interval:
+            return
+        self._last_render = now
+        el = now - self._t0
+        rate = self.n / el if el > 0 else 0.0
+        rem = (self.total - self.n) / rate if rate > 0 else 0.0
+        frac = min(self.n / self.total, 1.0)
+        bar = ("#" * int(frac * 20)).ljust(20)
+        mm = lambda s: f"{int(s) // 60:02d}:{int(s) % 60:02d}"
+        line = (f"{self.desc} {100 * frac:3.0f}%|{bar}| "
+                f"{self.n}/{self.total} [{mm(el)}<{mm(rem)}, "
+                f"{rate:.2f}{self.unit}/s]")
+        self.stream.write("\r" + line[:200].ljust(120))
+        self.stream.flush()
+
+    def close(self):
+        if self._isatty:
+            self._render(force=True)
+            self.stream.write("\n")
+            self.stream.flush()

@@ -118,6 +118,167 @@ def model_profile(model, input_hw=(512, 1024), print_table=True):
     return rows, total
 
 
+# ---------------------------------------------------------------------------
+# Generic scope profiler — the XLA-native analogue of the reference's
+# hook-registry profiler (/root/reference/hyperseg/utils/profile.py:9-127):
+# instead of nn.Module forward hooks, model code annotates module boundaries
+# with jax.named_scope, the traced jaxpr is walked once, and a registry of
+# per-primitive counting rules accumulates FLOPs per scope. Depth clipping
+# and the per-module table mirror the reference's clip_summary_depth /
+# print_summary semantics. Works for ANY jax-traceable callable — no
+# per-model-family hand-written rows needed.
+# ---------------------------------------------------------------------------
+
+def _dot_flops(eqn):
+    ((lc, rc), _batch) = eqn.params["dimension_numbers"]
+    lhs = eqn.invars[0].aval.shape
+    out = int(np.prod(eqn.outvars[0].aval.shape))
+    contract = int(np.prod([lhs[d] for d in lc])) if lc else 1
+    return 2 * out * contract
+
+
+def _conv_flops(eqn):
+    lhs = eqn.invars[0].aval.shape
+    rhs = eqn.invars[1].aval.shape
+    out = int(np.prod(eqn.outvars[0].aval.shape))
+    dn = eqn.params["dimension_numbers"]
+    groups = eqn.params.get("feature_group_count", 1)
+    k_spatial = int(np.prod([rhs[d] for d in dn.rhs_spec[2:]]))
+    cin = lhs[dn.lhs_spec[1]]
+    return 2 * out * k_spatial * (cin // groups)
+
+
+def _ewise_flops(eqn):
+    return int(np.prod(eqn.outvars[0].aval.shape))
+
+
+def _reduce_flops(eqn):
+    return int(np.prod(eqn.invars[0].aval.shape))
+
+
+# primitive name -> FLOPs rule; extend via the custom_rules argument
+# (the analogue of the reference's custom_ops overwrite, profile.py:19-23)
+FLOP_RULES = {
+    "dot_general": _dot_flops,
+    "conv_general_dilated": _conv_flops,
+    **{p: _ewise_flops for p in (
+        "add", "sub", "mul", "div", "max", "min", "pow", "exp", "log",
+        "tanh", "logistic", "rsqrt", "sqrt", "erf", "integer_pow",
+        "add_any", "select_n")},
+    **{p: _reduce_flops for p in (
+        "reduce_sum", "reduce_max", "reduce_min", "reduce_prod",
+        "argmax", "argmin", "reduce_and", "reduce_or")},
+}
+
+_ZERO_PRIMS = {  # data movement / bookkeeping: zero FLOPs by design
+    "reshape", "transpose", "broadcast_in_dim", "convert_element_type",
+    "slice", "dynamic_slice", "dynamic_update_slice", "concatenate",
+    "gather", "scatter", "scatter-add", "pad", "squeeze", "rev", "iota",
+    "copy", "stop_gradient", "split",
+}
+
+
+def flops_by_scope(fn, *args, max_depth=None, custom_rules=None,
+                   warn_unknown=False):
+    """Trace `fn(*args)` and return [(scope, flops, in_shape, out_shape)]
+    aggregated by jax.named_scope path (clipped to max_depth components),
+    in first-visit order. Sub-jaxprs (pjit/scan/while/cond/remat) are
+    visited recursively; scan bodies are multiplied by trip count."""
+    rules = {**FLOP_RULES, **(custom_rules or {})}
+    closed = jax.make_jaxpr(fn)(*args)
+    agg = {}
+    order = []
+    warned = set()
+
+    def clip(stack):
+        parts = [p for p in str(stack).split("/") if p]
+        if max_depth is not None:
+            parts = parts[:max_depth]
+        return "/".join(parts)
+
+    def visit(jaxpr, mult):
+        for eqn in jaxpr.eqns:
+            sub_mult = mult
+            if eqn.primitive.name == "scan":
+                sub_mult = mult * eqn.params.get("length", 1)
+            elif eqn.primitive.name == "while":
+                sub_mult = mult  # dynamic trip count: count one iteration
+            for v in eqn.params.values():
+                for j in _extract_jaxprs(v):
+                    visit(j, sub_mult)
+            rule = rules.get(eqn.primitive.name)
+            fl = mult * rule(eqn) if rule else 0
+            if (rule is None and warn_unknown
+                    and eqn.primitive.name not in _ZERO_PRIMS
+                    and eqn.primitive.name not in warned):
+                warned.add(eqn.primitive.name)
+                print(f"[WARN] no FLOPs rule for primitive "
+                      f"{eqn.primitive.name!r}; counted as zero")
+            scope = clip(eqn.source_info.name_stack)
+            if scope not in agg:
+                agg[scope] = [0, None, None]
+                order.append(scope)
+            row = agg[scope]
+            row[0] += fl
+            shapes_in = [tuple(v.aval.shape) for v in eqn.invars
+                         if getattr(v.aval, "shape", ())]
+            if row[1] is None and shapes_in:
+                row[1] = shapes_in[0]
+            if eqn.outvars and getattr(eqn.outvars[0].aval, "shape", ()):
+                row[2] = tuple(eqn.outvars[0].aval.shape)
+
+    def _extract_jaxprs(v):
+        if hasattr(v, "jaxpr") and hasattr(v, "consts"):   # ClosedJaxpr
+            return [v.jaxpr]
+        if hasattr(v, "eqns"):                              # Jaxpr
+            return [v]
+        if isinstance(v, (tuple, list)):
+            return [j for x in v for j in _extract_jaxprs(x)]
+        return []
+
+    visit(closed.jaxpr, 1)
+    return [(s, agg[s][0], agg[s][1], agg[s][2]) for s in order]
+
+
+def params_by_scope(params, max_depth=None):
+    """Aggregate flat-param-dict element counts by dotted prefix clipped to
+    max_depth components (the analogue of count_parameters per module)."""
+    out = {}
+    for k, v in params.items():
+        parts = k.split(".")[:-1]
+        if max_depth is not None:
+            parts = parts[:max_depth]
+        key = ".".join(parts)
+        out[key] = out.get(key, 0) + int(np.prod(v.shape))
+    return out
+
+
+def print_scope_table(rows, params=None):
+    """Reference print_summary format: Layer | Shape Mapping | Params | FLOPs
+    (profile.py:66-92), over flops_by_scope rows."""
+    table = []
+    for scope, fl, in_sh, out_sh in rows:
+        shapes = (f"{list(in_sh) if in_sh else '?'} -> "
+                  f"{list(out_sh) if out_sh else '?'}")
+        p = params.get(scope.replace("/", "."), 0) if params else 0
+        table.append((scope or "(top)", shapes, f"{p:,}", f"{fl / 1e9:.3f}B"))
+    total_fl = sum(fl for _s, fl, _i, _o in rows)
+    table.append(("TOTAL", "", f"{sum(params.values()):,}" if params else "",
+                  f"{total_fl / 1e9:.3f}B"))
+    titles = ("Scope", "Shape Mapping", "Params", "FLOPs")
+    widths = [max(len(str(r[i])) for r in table + [titles])
+              for i in range(4)]
+    line = "-" * (sum(widths) + 6)
+    print(line)
+    print("  ".join(f"{t:^{w}}" for t, w in zip(titles, widths)))
+    print("=" * (sum(widths) + 6))
+    for i, r in enumerate(table):
+        if i == len(table) - 1:
+            print("=" * (sum(widths) + 6))
+        print("  ".join(f"{str(c):>{w}}" for c, w in zip(r, widths)))
+    print(line)
+
+
 def xla_cost(fn, *args):
     """Compiled-cost analysis of a jitted callable: {'flops', 'bytes accessed',
     ...} as reported by XLA after fusion."""
@@ -159,9 +320,21 @@ def cli():
     p.add_argument("-r", "--res", default=(512, 1024), type=int, nargs=2)
     p.add_argument("-b", "--batch", default=1, type=int)
     p.add_argument("--xla", action="store_true", help="also compile and print XLA cost")
+    p.add_argument("--scopes", action="store_true",
+                   help="generic per-scope table from the traced jaxpr "
+                        "(any model; reference profile.py table format)")
+    p.add_argument("--max_depth", type=int, default=2,
+                   help="scope depth clipping for --scopes")
     a = p.parse_args()
 
     model = registry.build(a.model)
+    if a.scopes:
+        params = model.init(jax.random.PRNGKey(0))
+        x = jnp.zeros((a.batch, *a.res, 3), jnp.float32)
+        rows = flops_by_scope(lambda p_, x_: model(p_, x_), params, x,
+                              max_depth=a.max_depth, warn_unknown=True)
+        print_scope_table(rows, params_by_scope(params, max_depth=a.max_depth))
+        return
     rows, total = model_profile(model, tuple(a.res))
     params = model.init(jax.random.PRNGKey(0))
     from hyperseg_tpu.utils.profile import count_params

@@ -86,3 +86,97 @@ def test_create_pyramid():
     x = np.random.RandomState(0).rand(1, 16, 16, 3).astype(np.float32)
     pyd = img_utils.create_pyramid(x, 3)
     assert [p.shape[1] for p in pyd] == [16, 8, 4]
+
+
+def test_generic_scope_profiler():
+    """flops_by_scope: jaxpr-walk FLOPs grouped by named_scope with depth
+    clipping — the hook-registry profiler analogue (reference
+    utils/profile.py:9-127). Verifies scope structure on the real model,
+    dot/conv rules against hand counts, and params_by_scope totals."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from hyperseg_tpu.core import registry
+    from hyperseg_tpu.utils import profile as P
+
+    # rule sanity on a hand-countable function
+    def f(x, w):
+        with jax.named_scope("mm"):
+            y = x @ w                     # (4,8)@(8,16): 2*4*16*8 = 1024
+        return jax.nn.relu(y)
+
+    rows = P.flops_by_scope(f, jnp.ones((4, 8)), jnp.ones((8, 16)))
+    by = {s: fl for s, fl, _i, _o in rows}
+    assert by["mm"] == 2 * 4 * 16 * 8
+
+    arch = ("hyperseg_tpu.models.hyperseg_v1_0.hyperseg_efficientnet("
+            "'efficientnet-b0', levels=2, kernel_sizes=[1, 3], "
+            "level_channels=[16, 16], expand_ratio=2, weight_groups=[8, 8])")
+    model = registry.build(arch, num_classes=12)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 64, 128, 3), jnp.float32)
+
+    rows = P.flops_by_scope(lambda p, xx: model(p, xx), params, x, max_depth=2)
+    scopes = [s for s, *_ in rows]
+    assert "backbone/stem" in scopes and "weight_mapper" in scopes
+    assert "decoder/level_0" in scopes and "decoder/final_resize" in scopes
+    assert sum(1 for s in scopes if s.startswith("backbone/_blocks.")) == 16
+
+    # depth clipping aggregates exactly
+    rows1 = P.flops_by_scope(lambda p, xx: model(p, xx), params, x, max_depth=1)
+    total2 = sum(fl for _s, fl, _i, _o in rows)
+    total1 = sum(fl for _s, fl, _i, _o in rows1)
+    assert total1 == total2
+    bb1 = {s: fl for s, fl, _i, _o in rows1}["backbone"]
+    bb2 = sum(fl for s, fl, _i, _o in rows if s.split("/")[0] == "backbone")
+    assert bb1 == bb2
+    assert bb1 > total1 * 0.3  # the backbone is a real share of the model
+
+    # params_by_scope partitions the flat dict exactly
+    pbs = P.params_by_scope(params, max_depth=1)
+    assert sum(pbs.values()) == P.count_params(params)[0]
+
+    # table printing doesn't crash and includes the total
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        P.print_scope_table(rows, P.params_by_scope(params, max_depth=2))
+    assert "TOTAL" in buf.getvalue()
+
+
+def test_progress_meter_and_scalar_tags(tmp_path, capsys):
+    """ProgressMeter (tqdm-parity, reference train.py:97) prints a rate line
+    on description changes for non-TTY streams; log_scalars_val/avg write
+    meters under main_tag/<category>/<key> (the reference add_scalars
+    semantics) with optional category filtering."""
+    import io
+    from hyperseg_tpu.utils.logging import ProgressMeter
+
+    buf = io.StringIO()
+    pm = ProgressMeter(10, stream=buf)
+    for _ in range(10):
+        pm.update()
+    pm.set_description("TRAINING: Epoch: 1 / 2; losses: [total: 0.5000 (0.5000); ]")
+    pm.close()
+    out = buf.getvalue()
+    assert "10/10" in out and "TRAINING" in out and "batches/s" in out
+
+    lg = TensorBoardLogger(str(tmp_path))  # no tensorboardX -> jsonl backend
+    lg.reset(prefix="TRAINING: Epoch: 1 / 1;")
+    lg.update("losses", total=1.0)
+    lg.update("bench", iou=0.25)
+    lg.log_scalars_val("batch", 16)
+    lg.log_scalars_avg("epoch/train", 0, category="losses")
+    s = str(lg)
+    assert "losses: [total: 1.0000 (1.0000); ]" in s
+    assert "bench: [iou: 0.2500 (0.2500); ]" in s
+    if lg._jsonl is not None:
+        lg._jsonl.flush()
+        import json as J
+        lines = [J.loads(x) for x in
+                 open(tmp_path / "metrics.jsonl").read().splitlines()]
+        batch_rec = next(r for r in lines if r["suffix"] == "val")
+        assert "batch/losses/total" in batch_rec and "batch/bench/iou" in batch_rec
+        epoch_rec = next(r for r in lines if r["suffix"] == "avg")
+        assert "epoch/train/losses/total" in epoch_rec
+        assert not any("bench" in k for k in epoch_rec)  # category filter

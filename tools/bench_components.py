@@ -2,7 +2,13 @@
 
 Times nested prefixes of the pipeline with the bench.py fori_loop methodology
 (the only valid timing on this tunneled platform) and reports differences:
-stem, backbone, weight mapper, decoder, final resize."""
+stem, backbone, weight mapper, decoder, final resize.
+
+Round-3 correction: the fori_loop harness itself costs a fixed ~0.15-0.19 ms
+per iteration on this platform (identity-body measurement) — per-component
+numbers subtract a same-shape identity baseline; the raw column is what the
+harness printed in rounds 1-2.
+"""
 
 import sys
 import time
@@ -15,7 +21,7 @@ from jax import lax
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def timed(fn, x, iters=100):
+def timed(fn, x, iters=500):
     @jax.jit
     def loop(xx):
         def body(i, acc):
@@ -42,6 +48,7 @@ def main():
     bb = model.backbone
     bparams = model._backbone_params(params)
 
+    base = timed(lambda xx: xx, x)   # harness floor: perturb + sum, no model
     t_full = timed(lambda xx: model(params, xx), x)
     t_backbone = timed(lambda xx: jnp.concatenate(
         [f.sum(axis=-1, keepdims=True).reshape(1, -1, 1, 1)
@@ -50,13 +57,18 @@ def main():
         params, bb(bparams, xx)[-1], None), x)
 
     y = jnp.asarray(np.random.rand(1, 256, 512, 19), jnp.bfloat16)
+    base_r = timed(lambda yy: yy, y)
     t_resize = timed(lambda yy: F.resize_bilinear(yy, (512, 1024)), y)
 
-    print(f"full forward      : {t_full:.3f} ms")
-    print(f"backbone          : {t_backbone:.3f} ms")
-    print(f"backbone+mapper   : {t_bb_map:.3f} ms  (mapper ~{t_bb_map - t_backbone:.3f})")
-    print(f"decoder (by diff) : {t_full - t_bb_map - t_resize:.3f} ms")
-    print(f"final resize      : {t_resize:.3f} ms")
+    r_full, r_bb, r_map, r_res = (t_full - base, t_backbone - base,
+                                  t_bb_map - base, t_resize - base_r)
+    print(f"harness floor     : {base:.3f} ms/iter (identity body; "
+          f"subtracted below)")
+    print(f"full forward      : {r_full:.3f} ms  (raw {t_full:.3f})")
+    print(f"backbone          : {r_bb:.3f} ms  (raw {t_backbone:.3f})")
+    print(f"backbone+mapper   : {r_map:.3f} ms  (mapper ~{r_map - r_bb:.3f})")
+    print(f"decoder (by diff) : {r_full - r_map - r_res:.3f} ms")
+    print(f"final resize      : {r_res:.3f} ms  (raw {t_resize:.3f})")
 
 
 if __name__ == "__main__":
