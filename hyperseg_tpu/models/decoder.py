@@ -125,9 +125,11 @@ class InvResUnit:
 
     def apply(self, params, x, w, ctx=None):
         from hyperseg_tpu.ops import pallas as pallas_cfg
-        if pallas_cfg.ENABLED and (ctx is None or not ctx.train):
-            from hyperseg_tpu.ops.pallas.patch_invres import (
-                patch_inverted_residual_fused)
+        from hyperseg_tpu.ops.pallas.patch_invres import (
+            patch_inverted_residual_fused, supported)
+        if ((pallas_cfg.ENABLED or x.shape[0] >= pallas_cfg.INVRES_MIN_BATCH)
+                and (ctx is None or not ctx.train)
+                and supported(x.shape, w.shape, self.kernel)):
             pfx = self.prefix
             bn = lambda n: tuple(params[f"{pfx}.{n}.{f}"] for f in
                                  ("weight", "bias", "running_mean", "running_var"))

@@ -4,16 +4,19 @@ STEM_ENABLED (default True) routes the backbone stem+BN+swish through
 ops/pallas/stem.py — measured 1.5-1.6x faster than the XLA stem at every
 benchmark shape on v5e (the biggest single op of the forward).
 
-ENABLED (default False) routes eval-mode inverted residuals through
-ops/pallas/patch_invres.py. Measured on v5e (tools/bench_invres.py) the
-fused kernel slightly loses to the XLA patch-blocked path at the shipped
-benchmark shapes (0.72-0.85 ms vs 0.66-0.79 ms per level) — the op is
-MXU-shape-bound, not HBM-bound, so keeping the expanded chain in VMEM buys
-nothing. The XLA path (ops/patch.py) stays the default and the numerical
-oracle; the kernel remains for larger-patch regimes where the halo gather
-dominates."""
+Eval-mode inverted residuals (ops/pallas/patch_invres.py) dispatch by BATCH
+SIZE: at batch >= INVRES_MIN_BATCH the fused full-map kernel runs; at batch 1
+the XLA patch-blocked path stays. Round-3 measurement (tools/bench_invres.py,
+v5e): at batch 1 XLA wins slightly (~0.45 vs ~0.78 ms on M_level4), but at
+batch 8 XLA materializes the 6D halo-patch tensor and all nine depthwise tap
+products in HBM with ~5x tiling pad — per-IMAGE cost jumps 0.45 -> 1.26 ms —
+while the kernel (which reads the reflect-padded full map directly; no 6D
+tensor ever exists) holds ~0.67 ms/img: 1.9x faster. ENABLED=True forces the
+kernel at every batch size (A/B lever); the XLA path (ops/patch.py) remains
+the numerical oracle."""
 
 ENABLED = False
+INVRES_MIN_BATCH = 2
 STEM_ENABLED = True
 
 # Fused planar MBConv prefix chain (ops/pallas/mbconv.py). MBCONV_ENABLED

@@ -229,7 +229,7 @@ def _exp_dw_kernel(xm, xth, xbh, w_e, w9, b9, selc, o_ref, acc_ref, *,
 
 
 def expand_dw_phase(x_planar, w_expand, bn0, w_dw, bn1, *, stride=1,
-                    eps=1e-3, band_rows=None, interpret=False):
+                    eps=1e-3, band_rows=None, cchunk=None, interpret=False):
     """Expand-ratio MBConv front half: 1x1 expand + bn0 + swish + depthwise
     3x3 (stride 1 or 2, TF-SAME) + bn1 + swish, channel-planar.
 
@@ -289,13 +289,15 @@ def expand_dw_phase(x_planar, w_expand, bn0, w_dw, bn1, *, stride=1,
     wp = xp.shape[-1]
     # channel-chunk the expanded domain so the per-cell stack (expand
     # output + scratch accumulator + pipeline buffers) stays inside the
-    # 16 MB scoped VMEM
-    cchunk = cmid
-    while cchunk > 48 or cmid % cchunk:
-        for d in range(cchunk - 1, 0, -1):
-            if cmid % d == 0:
-                cchunk = d
-                break
+    # 16 MB scoped VMEM; cchunk overridable for measurement (bench_expand)
+    if cchunk is None:
+        cchunk = cmid
+        while cchunk > 48 or cmid % cchunk:
+            for d in range(cchunk - 1, 0, -1):
+                if cmid % d == 0:
+                    cchunk = d
+                    break
+    assert cmid % cchunk == 0
     kern = functools.partial(_exp_dw_kernel, cin=cin, cmid=cchunk, rows=rows,
                              w=w, w_out=w_out, stride=stride, h=h)
     return pl.pallas_call(

@@ -3,13 +3,19 @@
 The HyperSeg decoder's k=3 levels (HyperPatchInvertedResidual,
 hyperseg_v1_0.py:281-376) run three dynamic convolutions per patch:
 1x1 expand -> 3x3 depthwise -> 1x1 project, with eval-mode BN + ReLU6 between
-stages. The XLA fallback (ops/patch.py) materializes the expanded halo-patch
-tensor (B, fh, fw, ph+2, pw+2, hidden) in HBM and re-reads it per depthwise
-tap — the dominant HBM traffic of the whole network. This kernel keeps the
-expanded chain in VMEM: halo patches are pre-extracted once (27% duplication
-at k=3, ph=16), each grid cell processes a chunk of one patch row with
-fw-batched MXU matmuls and VPU taps, and only the final (ph, pw, out) tiles
-are written back.
+stages. The XLA fallback (ops/patch.py) materializes the halo-patch tensor
+(B, fh, fw, ph+2, pw+2, C) and the expanded hidden tensor in HBM — with
+(sublane, lane) tiling that layout pads ~5x (18 sublanes -> 24, 34/68 lanes
+-> 128), the dominant HBM traffic of the whole network at batch > 1.
+
+This kernel reads the reflect-padded *full map* directly: each grid cell
+receives its band through four overlapping views of the same array (main
+rows/cols plus 8-row / 8-col tail blocks and a corner block — BlockSpec
+index maps can only step in whole blocks, so the 2-pixel halo rides an
+8-aligned tail read; same trick as ops/pallas/mbconv.py dw_phase), assembles
+the per-patch halo windows in VMEM, and runs the three stages as fw-batched
+MXU matmuls and VPU taps. Neither the 6D patch tensor nor the expanded
+hidden tensor ever exists in HBM: traffic is x (~1.5x read) + weights + out.
 
 Interface contract matches the lax oracle exactly (tests/test_pallas.py):
 inputs are the *unpadded* feature map and the flat per-patch weight vectors;
@@ -34,11 +40,12 @@ def _fold_bn(scale, bias, mean, var, eps):
     return s, b
 
 
-def _kernel(bands_ref, w1_ref, w2_ref, w3_ref, bn_ref, out_ref, *,
+def _kernel(xm, xrt, xct, xcn, w1_ref, w2_ref, w3_ref, bn_ref, out_ref, *,
             ph, pw, fw, cin, hidden, out_ch, k, residual, act_max):
-    """Grid cell = one (batch, patch-row) band, vectorized across the fw
-    patches: the three stages run as fw-batched dot_generals (MXU) and
-    row-wide depthwise taps (VPU) — no serial per-patch loop."""
+    """Grid cell = one (batch, patch-row, patch-chunk) band of `fw` patches:
+    the band is assembled from the four overlapping full-map views, then the
+    three stages run as fw-batched dot_generals (MXU) and row-wide depthwise
+    taps (VPU) — no serial per-patch loop."""
     pad = k // 2
     kh = ph + 2 * pad
     kw = pw + 2 * pad
@@ -49,7 +56,17 @@ def _kernel(bands_ref, w1_ref, w2_ref, w3_ref, bn_ref, out_ref, *,
     s3 = bn_ref[4, :out_ch]
     b3 = bn_ref[5, :out_ch]
 
-    xp = bands_ref[0, 0]                                   # (fw, kh, kw, cin)
+    # assemble the halo'd band (kh, fw*pw + 2*pad, cin) from the main block
+    # plus the 8-aligned tail/corner reads (only their first 2*pad rows/cols
+    # are real halo; the rest is over-read by alignment)
+    right = jnp.concatenate([xct[0], xcn[0][:2 * pad]], axis=0)  # (kh, 8, c)
+    band = jnp.concatenate(
+        [jnp.concatenate([xm[0], xrt[0][:2 * pad]], axis=0),     # (kh, cw, c)
+         right[:, :2 * pad]], axis=1)               # (kh, fw*pw + 2*pad, cin)
+
+    # per-patch halo windows, fw-stacked: (fw, kh, kw, cin)
+    xp = jnp.stack([band[:, g * pw:g * pw + kw] for g in range(fw)], axis=0)
+
     # stage 1: fw-batched (kh*kw, cin) @ (cin, hidden)
     h = lax.dot_general(
         xp.reshape(fw, kh * kw, cin).astype(jnp.bfloat16),
@@ -58,7 +75,9 @@ def _kernel(bands_ref, w1_ref, w2_ref, w3_ref, bn_ref, out_ref, *,
         preferred_element_type=jnp.float32)                # (fw, kh*kw, hidden)
     h = jnp.clip(h * s1 + b1, 0.0, act_max)
     h = h.reshape(fw, kh, kw, hidden).astype(jnp.bfloat16)
-    # stage 2: k x k depthwise VALID, all patches at once
+    # stage 2: k x k depthwise VALID, all patches at once (f32 accumulate:
+    # measured FASTER than bf16 taps — the VPU pack/unpack outweighs the
+    # halved element count)
     w2 = w2_ref[0, 0]                                      # (fw, k, k, hidden)
     acc = jnp.zeros((fw, ph, pw, hidden), jnp.float32)
     for di in range(k):
@@ -82,9 +101,21 @@ def _kernel(bands_ref, w1_ref, w2_ref, w3_ref, bn_ref, out_ref, *,
     out_ref[0, 0] = jnp.swapaxes(o, 0, 1).reshape(ph, fw * pw, out_ch)
 
 
+def supported(x_shape, w_shape, kernel):
+    """Shape gate for the fused kernel: the 2*pad halo must ride 8-aligned
+    tail blocks, so patch dims must be multiples of 8 (true at the shipped
+    configs; pyramid-TTA scales can violate it and fall back to XLA)."""
+    _, hgt, wid, _ = x_shape
+    _, fh, fw, _ = w_shape
+    ph, pw = hgt // fh, wid // fw
+    return (hgt % fh == 0 and wid % fw == 0 and ph % 8 == 0 and pw % 8 == 0
+            and 2 * (kernel // 2) <= 8)
+
+
 def patch_inverted_residual_fused(x, w, *, hidden, out_ch, kernel=3,
                                   bn1, bn2, bn3, eps=1e-5, act_max=6.0,
-                                  padding_mode="reflect", interpret=False):
+                                  padding_mode="reflect", chunk=None,
+                                  interpret=False):
     """x: (B, H, W, Cin); w: (B, fh, fw, P) flat per-patch weights with the
     reference layout (in*hidden | hidden*k*k | hidden*out). bn*: tuples of
     (scale, bias, mean, var). Returns (B, H, W, out_ch)."""
@@ -94,6 +125,8 @@ def patch_inverted_residual_fused(x, w, *, hidden, out_ch, kernel=3,
     k = kernel
     pad = k // 2
     residual = (cin == out_ch)
+    assert ph % 8 == 0 and pw % 8 == 0 and 2 * pad <= 8, (
+        "halo rides 8-aligned tail blocks")
 
     r1 = cin * hidden
     r2 = r1 + hidden * k * k
@@ -115,20 +148,28 @@ def patch_inverted_residual_fused(x, w, *, hidden, out_ch, kernel=3,
     bn_pack = jnp.stack([padv(s1), padv(b1), padv(s2), padv(b2),
                          padv(s3), padv(b3)])              # (6, maxc) fp32
 
-    # pre-extracted overlapping halo patches (the XLA gather; ~27% duplicated
-    # bytes at k=3, ph=16 — the expanded hidden tensor never touches HBM)
-    from hyperseg_tpu.ops.patch import extract_patches_with_halo
-    patches = extract_patches_with_halo(x, fh, fw, (pad, pad), mode=padding_mode)
+    # reflect-padded full map, then zero-pad bottom/right to keep the
+    # 8-aligned tail reads in range (the zeros are over-read, never used)
+    from hyperseg_tpu.nn import functional as F
+    xpad = F.pad2d(x, ((pad, pad), (pad, pad)), mode=padding_mode)
+    xpad = jnp.pad(xpad, ((0, 0), (0, 8 - 2 * pad), (0, 8 - 2 * pad), (0, 0)))
+    # rows now hgt + 8, cols wid + 8
 
     # chunk the patch row so per-cell VMEM stays bounded (~2 MB of halo
     # patches per chunk incl. fp32 intermediates)
     kh, kw = ph + 2 * pad, pw + 2 * pad
-    itemsize = np.dtype(x.dtype).itemsize
-    chunk = fw
-    while chunk > 1 and (chunk * kh * kw * max(cin, hidden) * 4 > 2_500_000
-                         or fw % chunk != 0):
-        chunk -= 1
+    # budget shrinks for f32 inputs: the four full-map views and the output
+    # block scale with itemsize (an f32 run of the b=8 CamVid-L4 shape
+    # overflowed the 16 MB scoped VMEM by ~1 MB at the bf16 budget)
+    budget = 2_500_000 if np.dtype(x.dtype).itemsize <= 2 else 1_500_000
+    if chunk is None:
+        chunk = fw
+        while chunk > 1 and (chunk * kh * kw * max(cin, hidden) * 4 > budget
+                             or fw % chunk != 0):
+            chunk -= 1
+    assert fw % chunk == 0
     nchunks = fw // chunk
+    cw = chunk * pw
 
     kern = functools.partial(
         _kernel, ph=ph, pw=pw, fw=chunk, cin=cin, hidden=hidden, out_ch=out_ch,
@@ -138,20 +179,30 @@ def patch_inverted_residual_fused(x, w, *, hidden, out_ch, kernel=3,
         kern,
         grid=(b, fh, nchunks),
         in_specs=[
-            pl.BlockSpec((1, 1, chunk, kh, kw, cin),
-                         lambda bi, i, c: (bi, i, c, 0, 0, 0)),
+            # main rows/cols: [f*ph, f*ph+ph) x [c*cw, c*cw+cw)
+            pl.BlockSpec((1, ph, cw, cin), lambda bi, f, c: (bi, f, c, 0)),
+            # row tail: 8 rows starting at (f+1)*ph (first 2*pad are halo)
+            pl.BlockSpec((1, 8, cw, cin),
+                         lambda bi, f, c: (bi, (f + 1) * ph // 8, c, 0)),
+            # col tail: 8 cols starting at (c+1)*cw
+            pl.BlockSpec((1, ph, 8, cin),
+                         lambda bi, f, c: (bi, f, (c + 1) * cw // 8, 0)),
+            # corner: 8x8 at ((f+1)*ph, (c+1)*cw)
+            pl.BlockSpec((1, 8, 8, cin),
+                         lambda bi, f, c: (bi, (f + 1) * ph // 8,
+                                           (c + 1) * cw // 8, 0)),
             pl.BlockSpec((1, 1, chunk, cin, hidden),
-                         lambda bi, i, c: (bi, i, c, 0, 0)),
+                         lambda bi, f, c: (bi, f, c, 0, 0)),
             pl.BlockSpec((1, 1, chunk, k, k, hidden),
-                         lambda bi, i, c: (bi, i, c, 0, 0, 0)),
+                         lambda bi, f, c: (bi, f, c, 0, 0, 0)),
             pl.BlockSpec((1, 1, chunk, hidden, out_ch),
-                         lambda bi, i, c: (bi, i, c, 0, 0)),
-            pl.BlockSpec((6, maxc), lambda bi, i, c: (0, 0)),
+                         lambda bi, f, c: (bi, f, c, 0, 0)),
+            pl.BlockSpec((6, maxc), lambda bi, f, c: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, ph, chunk * pw, out_ch),
-                               lambda bi, i, c: (bi, i, 0, c, 0)),
+        out_specs=pl.BlockSpec((1, 1, ph, cw, out_ch),
+                               lambda bi, f, c: (bi, f, 0, c, 0)),
         out_shape=jax.ShapeDtypeStruct((b, fh, ph, wid, out_ch), x.dtype),
         interpret=interpret,
-    )(patches, w1, w2, w3, bn_pack)
+    )(xpad, xpad, xpad, xpad, w1, w2, w3, bn_pack)
 
     return out.reshape(b, hgt, wid, out_ch)

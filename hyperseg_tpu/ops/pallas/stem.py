@@ -42,7 +42,13 @@ import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 
-SEL_BYTES_CAP = 24 * 1024 * 1024  # empirically fine on v5e at 20 MB
+# Cap chosen so the selection matrix + pipeline buffers stay inside the
+# 16 MB scoped VMEM in every context. Round-3 re-measure with the amortized
+# harness (bench.py docstring): cw=256 beats cw=512 at batch 1 AND 8
+# (0.329 vs 0.366 / 1.420 vs 1.625 ms), and the 20 MB cw=512 sel matrix
+# vmem-OOMs inside fori_loop bodies at batch 8 — the round-2 "chunking
+# costs 1.5x" claim was per-call dispatch bias, not device time.
+SEL_BYTES_CAP = 6 * 1024 * 1024
 
 
 def _pick_cw(w2, cin, itemsize):

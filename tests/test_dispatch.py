@@ -55,5 +55,46 @@ def test_shipped_flag_defaults():
     assert pallas_cfg.STEM_ENABLED is True
     assert pallas_cfg.MBCONV_ENABLED is True
     assert pallas_cfg.MBCONV_EXPAND_ENABLED is False
-    assert pallas_cfg.ENABLED is False  # patch_invres: measured slower
+    assert pallas_cfg.ENABLED is False  # patch_invres forced-on: batch-1 loses
+    # batch >= 2 dispatches the fused invres kernel (1.4-1.9x at batch 8;
+    # XLA materializes the 6D halo tensor + 9 tap products there)
+    assert pallas_cfg.INVRES_MIN_BATCH == 2
     assert pallas_cfg.RESIZE_ENABLED is False  # XLA ~0.09 vs kernel ~0.11 ms
+
+
+def test_invres_batch_dispatch_policy(monkeypatch):
+    """InvResUnit routes by batch size: XLA at batch 1, kernel at batch >= 2,
+    XLA whenever the shape gate fails (e.g. pyramid-TTA patch dims)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from hyperseg_tpu.models.decoder import InvResUnit
+    from hyperseg_tpu.ops.pallas import patch_invres as PI
+
+    unit = InvResUnit(prefix="u", in_ch=6, out_ch=5, hidden=12, kernel=3)
+    rng = np.random.RandomState(0)
+    params = {}
+    for i, ch in [(1, 12), (2, 12), (3, 5)]:
+        params[f"u.bn{i}.weight"] = jnp.ones(ch)
+        params[f"u.bn{i}.bias"] = jnp.zeros(ch)
+        params[f"u.bn{i}.running_mean"] = jnp.zeros(ch)
+        params[f"u.bn{i}.running_var"] = jnp.ones(ch)
+
+    calls = []
+    real = PI.patch_inverted_residual_fused
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k, interpret=True)
+
+    monkeypatch.setattr(PI, "patch_inverted_residual_fused", spy)
+
+    def run(b, h, w, fh, fw):
+        calls.clear()
+        x = jnp.asarray(rng.rand(b, h, w, 6), jnp.float32)
+        ww = jnp.asarray(rng.rand(b, fh, fw, unit.hyper_params) * 0.1)
+        unit.apply(params, x, ww)
+        return bool(calls)
+
+    assert not run(1, 16, 16, 2, 2)        # batch 1 -> XLA
+    assert run(2, 16, 16, 2, 2)            # batch 2 -> kernel
+    assert not run(2, 12, 12, 2, 2)        # ph=6 not 8-aligned -> XLA

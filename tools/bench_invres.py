@@ -46,7 +46,9 @@ def timed(fn, *args, iters=50):
 def main():
     from hyperseg_tpu.ops import pallas as pallas_cfg
     dtype = jnp.bfloat16
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     for name, (b, hgt, wid), fh, fw, cin, hidden, out, k in SHAPES:
+        b *= batch
         unit = InvResUnit(prefix="u", in_ch=cin, out_ch=out, hidden=hidden,
                           kernel=k)
         P = unit.hyper_params
