@@ -22,11 +22,11 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 # img/s recorded in BENCHMARKS.md (round 3 sweep). Keys match bench_all.CONFIGS.
 EXPECTED = {
-    "hyperseg-m_cityscapes_1024x512": 377.2,
-    "hyperseg-s_cityscapes_1536x768": 154.9,
-    "hyperseg-s_camvid_768x576": 393.4,
-    "hyperseg-l_camvid_1024x768": 107.6,
-    "hyperseg-l_voc_512x512": 286.0,
+    "hyperseg-m_cityscapes_1024x512": 419.5,
+    "hyperseg-s_cityscapes_1536x768": 160.5,
+    "hyperseg-s_camvid_768x576": 409.1,
+    "hyperseg-l_camvid_1024x768": 108.6,
+    "hyperseg-l_voc_512x512": 305.9,
 }
 
 

@@ -81,7 +81,7 @@ def micro():
 
         def xla_block(xx):
             return bb._block(params, p, bp, jnp.transpose(xx, (0, 2, 3, 1)),
-                             None)
+                             None, drop_rate=0.0, rng=None)
 
         def kern_block(xx, cchunk=None):
             bn0 = tuple(params[f"{p}._bn0.{f}"] for f in

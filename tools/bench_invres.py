@@ -29,7 +29,7 @@ SHAPES = [
 ]
 
 
-def timed(fn, *args, iters=50):
+def timed(fn, *args, iters=200):
     @jax.jit
     def loop(*a):
         def body(i, acc):
