@@ -80,14 +80,24 @@ class PatchConvUnit:
     def apply(self, params, x, w, ctx=None):
         b, h, wd, c = x.shape
         fh, fw = w.shape[1], w.shape[2]
-        if self.pad > 0:
-            xp = P.extract_patches_with_halo(x, fh, fw, (self.pad, self.pad),
-                                             mode=self.padding_mode)
+        if (self.kernel > 1 and self.groups == self.in_ch == self.out_ch
+                and self.stride == 1 and self.pad == self.kernel // 2
+                and h % fh == 0 and wd % fw == 0):
+            # bit-identical to the patch path (see fullmap_depthwise); avoids
+            # the 6D halo materialization that doubles per-image cost at
+            # batch >= 2.
+            out = P.fullmap_depthwise(x, w, fh, fw, self.kernel,
+                                      mode=self.padding_mode)
         else:
-            xp = P.block_patches(x, fh, fw)
-        out = P.patch_conv_valid(xp, w, self.out_ch, (self.kernel, self.kernel),
-                                 groups=self.groups, stride=(self.stride, self.stride))
-        out = P.unblock_patches(out)
+            if self.pad > 0:
+                xp = P.extract_patches_with_halo(
+                    x, fh, fw, (self.pad, self.pad), mode=self.padding_mode)
+            else:
+                xp = P.block_patches(x, fh, fw)
+            out = P.patch_conv_valid(
+                xp, w, self.out_ch, (self.kernel, self.kernel),
+                groups=self.groups, stride=(self.stride, self.stride))
+            out = P.unblock_patches(out)
         if self.bn_prefix is not None:
             out = F.apply_bn(params, self.bn_prefix, out, ctx, eps=BN_EPS,
                              momentum=BN_MOMENTUM)
@@ -128,6 +138,7 @@ class InvResUnit:
         from hyperseg_tpu.ops.pallas.patch_invres import (
             patch_inverted_residual_fused, supported)
         if ((pallas_cfg.ENABLED or x.shape[0] >= pallas_cfg.INVRES_MIN_BATCH)
+                and pallas_cfg.kernels_available()
                 and (ctx is None or not ctx.train)
                 and supported(x.shape, w.shape, self.kernel)):
             pfx = self.prefix

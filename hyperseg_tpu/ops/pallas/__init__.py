@@ -39,3 +39,12 @@ MBCONV_EXPAND_ENABLED = False
 # 0.25-0.28 raw, all before baseline subtraction). Kept for larger-tensor
 # regimes where the banded matmuls amortize better.
 RESIZE_ENABLED = False
+
+
+def kernels_available():
+    """True when Mosaic kernels can execute (a real TPU backend). Dispatch
+    sites must check this: batch-based auto-dispatch on a CPU backend would
+    crash ('Only interpret mode is supported on CPU backend'). Tests
+    monkeypatch this to exercise dispatch policy with interpret=True."""
+    import jax
+    return jax.default_backend() == "tpu"

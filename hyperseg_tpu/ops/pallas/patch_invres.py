@@ -64,8 +64,16 @@ def _kernel(xm, xrt, xct, xcn, w1_ref, w2_ref, w3_ref, bn_ref, out_ref, *,
         [jnp.concatenate([xm[0], xrt[0][:2 * pad]], axis=0),     # (kh, cw, c)
          right[:, :2 * pad]], axis=1)               # (kh, fw*pw + 2*pad, cin)
 
-    # per-patch halo windows, fw-stacked: (fw, kh, kw, cin)
-    xp = jnp.stack([band[:, g * pw:g * pw + kw] for g in range(fw)], axis=0)
+    # per-patch halo windows, fw-stacked: (fw, kh, kw, cin). Built from two
+    # free reshapes + one concat + a leading-dim transpose (cheaper than fw
+    # separate overlapping-slice copies): window g = band cols
+    # [g*pw, g*pw + pw + 2*pad) = its own pw-block plus the next block's
+    # first 2*pad cols, so the halo appends in column order.
+    cwid = fw * pw
+    main = band[:, :cwid].reshape(kh, fw, pw, cin)
+    halo = jnp.pad(band[:, pw:], ((0, 0), (0, pw - 2 * pad), (0, 0)))
+    halo = halo[:, :cwid].reshape(kh, fw, pw, cin)[:, :, :2 * pad]
+    xp = jnp.transpose(jnp.concatenate([main, halo], axis=2), (1, 0, 2, 3))
 
     # stage 1: fw-batched (kh*kw, cin) @ (cin, hidden)
     h = lax.dot_general(

@@ -91,6 +91,36 @@ def patch_depthwise_valid(xp, w, kernel_size):
     return out
 
 
+def fullmap_depthwise(x, w, fh, fw, kernel, mode="reflect"):
+    """Per-patch depthwise kxk SAME conv computed on the FULL map.
+
+    Exactly equivalent to extract_patches_with_halo + patch_depthwise_valid +
+    unblock_patches whenever the unit's input is a reassembled full map (every
+    PatchConvUnit: its halo pixels are literally the neighboring map pixels):
+    each output pixel uses its own patch's weights and reads neighbors from
+    the padded map. Same tap order, same values — bit-identical.
+
+    Why it exists: at batch >= 2 XLA materializes the overlapping 6D halo
+    tensor (B, fh, fw, ph+2p, pw+2p, C) in HBM with ~5x (sublane, lane) tiling
+    pad, doubling the per-image cost of the patch path. The full-map form is
+    kh*kw fused shift-multiplies on a plain NHWC tensor — nothing 6D ever
+    exists. x: (B, H, W, C); w: (B, fh, fw, C*kh*kw) unpacking as (C, kh, kw).
+    """
+    b, h, wd, c = x.shape
+    ph, pw = h // fh, wd // fw
+    pad = kernel // 2
+    xpad = F.pad2d(x, ((pad, pad), (pad, pad)), mode=mode)
+    wk = w.reshape(b, fh, fw, c, kernel, kernel).astype(x.dtype)
+    out = None
+    for di in range(kernel):
+        for dj in range(kernel):
+            wt = jnp.broadcast_to(wk[:, :, None, :, None, :, di, dj],
+                                  (b, fh, ph, fw, pw, c)).reshape(b, h, wd, c)
+            tap = xpad[:, di:di + h, dj:dj + wd, :] * wt
+            out = tap if out is None else out + tap
+    return out
+
+
 def patch_conv_valid(xp, w, out_channels, kernel_size, groups=1, stride=(1, 1)):
     """Per-patch dense/grouped kxk VALID conv via im2col einsum.
 

@@ -95,6 +95,11 @@ def test_invres_batch_dispatch_policy(monkeypatch):
         unit.apply(params, x, ww)
         return bool(calls)
 
+    # on a CPU backend Mosaic can't execute — no dispatch even at batch 2
+    # (regression pin: batch-2 v0_2 eval crashed on CPU before this gate)
+    assert not run(2, 16, 16, 2, 2)
+
+    monkeypatch.setattr(pallas_cfg, "kernels_available", lambda: True)
     assert not run(1, 16, 16, 2, 2)        # batch 1 -> XLA
     assert run(2, 16, 16, 2, 2)            # batch 2 -> kernel
     assert not run(2, 12, 12, 2, 2)        # ph=6 not 8-aligned -> XLA

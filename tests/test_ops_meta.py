@@ -111,6 +111,23 @@ def test_patch_depthwise(reference, torch):
     np.testing.assert_allclose(from_nhwc(out), ref, atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("mode", ["reflect", "replicate"])
+@pytest.mark.parametrize("b,c,fh,fw,ph,pw,k",
+                         [(2, 6, 3, 2, 8, 8, 3), (1, 4, 2, 4, 8, 16, 5)])
+def test_fullmap_depthwise_matches_patch_path(b, c, fh, fw, ph, pw, k, mode):
+    """fullmap_depthwise is the batch-friendly formulation of halo-unfold +
+    patch_depthwise_valid + fold — it must be BIT-identical (same taps, same
+    summation order) whenever the unit input is a full map."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(b, fh * ph, fw * pw, c), jnp.float32)
+    w = jnp.asarray(rng.randn(b, fh, fw, c * k * k), jnp.float32)
+    pad = k // 2
+    xp = P.extract_patches_with_halo(x, fh, fw, (pad, pad), mode=mode)
+    want = P.unblock_patches(P.patch_depthwise_valid(xp, w, (k, k)))
+    got = P.fullmap_depthwise(x, w, fh, fw, k, mode=mode)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_meta_patch_conv2d_wrapper(reference, torch):
     from hyperseg.models.layers.meta_patch import MetaPatchConv2d
     b, cin, cout, fh, fw, ph, pw, k = 1, 6, 5, 2, 2, 8, 8, 3
