@@ -22,10 +22,58 @@ def test_bootstrapped_ce_parity(reference, torch):
     for k, thresh in [(256, 0.3), (100, 5.0), (2047, 0.0)]:
         ref = BootstrappedCrossEntropyLoss(k=k, thresh=thresh, ignore_index=255)(
             logits, labels).item()
-        got = L.bootstrapped_cross_entropy(
-            jnp.asarray(logits.numpy().transpose(0, 2, 3, 1)),
-            jnp.asarray(labels.numpy()), k=k, thresh=thresh, ignore_index=255)
-        np.testing.assert_allclose(float(got), ref, rtol=2e-5)
+        for method in ("sort", "select"):
+            got = L.bootstrapped_cross_entropy(
+                jnp.asarray(logits.numpy().transpose(0, 2, 3, 1)),
+                jnp.asarray(labels.numpy()), k=k, thresh=thresh,
+                ignore_index=255, method=method)
+            np.testing.assert_allclose(float(got), ref, rtol=2e-5)
+
+
+def test_bootstrapped_ce_select_matches_sort():
+    """The sort-free formulation (bit-bisection k-th largest + masked
+    reductions) must agree with the full-sort formulation in value AND
+    gradient on both branches, including k >= n and tied losses."""
+    rng = np.random.RandomState(0)
+    b, c, h, w = 3, 7, 16, 24
+    logits = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+    labels_np = rng.randint(0, c, (b, h, w))
+    labels_np[0, :4] = 255
+    labels = jnp.asarray(labels_np, jnp.int32)
+    # half-precision logits quantize losses -> genuine ties at the k-th value
+    logits_tied = jnp.asarray(
+        np.round(rng.randn(b, h, w, c), 1), jnp.float32)
+
+    for lg, tied in ((logits, False), (logits_tied, True)):
+        for k, thresh in [(64, 0.3), (50, 50.0), (383, 0.0), (10_000, 0.3)]:
+            args = dict(k=k, thresh=thresh, ignore_index=255)
+            f_sel = lambda x: L.bootstrapped_cross_entropy(
+                x, labels, method="select", **args)
+            f_srt = lambda x: L.bootstrapped_cross_entropy(
+                x, labels, method="sort", **args)
+            v_sel, g_sel = jax.value_and_grad(f_sel)(lg)
+            v_srt, g_srt = jax.value_and_grad(f_srt)(lg)
+            np.testing.assert_allclose(float(v_sel), float(v_srt), rtol=1e-6)
+            if tied:
+                # among tied pixels the sort assigns the residual top-k
+                # weight to an arbitrary subset while select spreads it
+                # evenly — values agree, per-pixel gradients legitimately
+                # differ, and both remain finite
+                assert bool(jnp.all(jnp.isfinite(g_sel)))
+            else:
+                np.testing.assert_allclose(np.asarray(g_sel),
+                                           np.asarray(g_srt), atol=1e-7)
+
+
+def test_kth_largest_exact():
+    rng = np.random.RandomState(1)
+    rows = np.abs(rng.randn(4, 257)).astype(np.float32)
+    rows[1, :50] = rows[1, 50]  # ties
+    rows[2, :] = 0.0            # all-equal row
+    for kk in (1, 2, 50, 256, 257):
+        want = np.sort(rows, axis=1)[:, ::-1][:, kk - 1]
+        got = np.asarray(L._kth_largest(jnp.asarray(rows), kk))
+        np.testing.assert_array_equal(got, want)
 
 
 def test_plain_ce_parity(reference, torch):
