@@ -15,13 +15,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def confusion_matrix(labels, preds, num_classes: int, ignore_index=255):
+def confusion_matrix(labels, preds, num_classes: int, ignore_index=255,
+                     method="matmul"):
     """Batched confusion matrix. labels/preds: int arrays of equal shape.
     Rows = ground truth, cols = prediction (matches both reference
-    accumulators, train.py:299-304 and seg_utils.py:22-36)."""
+    accumulators, train.py:299-304 and seg_utils.py:22-36).
+
+    method="matmul" (default): hist = onehot(labels)^T @ onehot(preds) on the
+    MXU — one-hot bf16 operands (0/1 exact) with f32 accumulation (counts
+    stay < 2^24). method="bincount" keeps the scatter-add formulation:
+    XLA lowers it through TPU scatter, a known slow path at megapixel sizes
+    (A/B: tools/bench_metrics.py)."""
     valid = (labels >= 0) & (labels < num_classes)
     if ignore_index is not None:
         valid &= labels != ignore_index
+    if method == "matmul":
+        classes = jnp.arange(num_classes, dtype=labels.dtype)
+        lflat = labels.reshape(-1, 1)
+        pflat = preds.reshape(-1, 1)
+        oh_l = ((lflat == classes) & valid.reshape(-1, 1)).astype(jnp.bfloat16)
+        oh_p = (pflat == classes).astype(jnp.bfloat16)
+        hist = jax.lax.dot_general(
+            oh_l, oh_p, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return hist.astype(jnp.int32)
     idx = jnp.where(valid, labels * num_classes + preds, num_classes * num_classes)
     hist = jnp.bincount(idx.reshape(-1), length=num_classes * num_classes + 1)
     return hist[:-1].reshape(num_classes, num_classes)

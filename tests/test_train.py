@@ -90,6 +90,22 @@ def test_plain_ce_parity(reference, torch):
     np.testing.assert_allclose(float(got), ref, rtol=2e-5)
 
 
+def test_confusion_matrix_matmul_matches_bincount():
+    """The MXU one-hot-matmul confmat must equal the scatter/bincount one
+    exactly (integer counts), including ignore pixels and out-of-range
+    labels."""
+    rng = np.random.RandomState(3)
+    labels = rng.randint(0, 21, (4, 33, 47)).astype(np.int32)
+    labels[labels == 20] = 255
+    preds = rng.randint(0, 19, (4, 33, 47)).astype(np.int32)
+    a = M.confusion_matrix(jnp.asarray(labels), jnp.asarray(preds), 19,
+                           method="matmul")
+    b = M.confusion_matrix(jnp.asarray(labels), jnp.asarray(preds), 19,
+                           method="bincount")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert a.dtype == b.dtype == jnp.int32
+
+
 def test_confusion_matrix_matches_running_score(reference):
     import sys
     sys.modules.setdefault("tqdm", __import__("types").ModuleType("tqdm"))

@@ -1,0 +1,63 @@
+"""A/B the bootstrapped-CE formulations (sort vs select) on the chip.
+
+Times value_and_grad of the loss alone at the Cityscapes-M training shape
+(the loss consumes full-resolution logits, so its cost scales with batch).
+Run alone on the idle chip; bench.py fori_loop methodology.
+
+Usage: python tools/bench_loss.py [batch ...]   (default: 8 16)
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+RES = (512, 1024)
+C = 19
+ITERS = 100
+
+
+def timed(fn, *args, iters=ITERS):
+    @jax.jit
+    def loop(a0, rest):
+        def body(i, acc):
+            ai = a0 + i.astype(a0.dtype) * jnp.asarray(1e-6, a0.dtype)
+            return acc + fn(ai, *rest).astype(jnp.float32)
+        return lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    out = loop(args[0], args[1:])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    jax.block_until_ready(loop(args[0], args[1:]))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    from hyperseg_tpu.train import losses as L
+
+    batches = [int(a) for a in sys.argv[1:]] or [8, 16]
+    rng = np.random.RandomState(0)
+    print("| batch | method | fwd ms | fwd+bwd ms |")
+    print("|---|---|---|---|")
+    for b in batches:
+        logits = jnp.asarray(rng.randn(b, *RES, C), jnp.float32)
+        labels = jnp.asarray(rng.randint(0, C, (b, *RES)), jnp.int32)
+        base = timed(lambda x, y: x[0, 0, 0, 0], logits, labels)
+        for method in ("sort", "select"):
+            def f(x, y, m=method):
+                return L.bootstrapped_cross_entropy(
+                    x, y, k=4096, thresh=0.3, ignore_index=255, method=m)
+
+            fwd = timed(f, logits, labels) - base
+            fb = timed(lambda x, y: jax.value_and_grad(f)(x, y)[0],
+                       logits, labels) - base
+            print(f"| {b} | {method} | {fwd:.3f} | {fb:.3f} |", flush=True)
+
+
+if __name__ == "__main__":
+    main()
