@@ -33,6 +33,13 @@ from jax import lax
 from jax.experimental import pallas as pl
 
 
+# Stage-1/3 matmuls as rank-4 batched dots over the unmerged (fw, kh, kw, c)
+# windows instead of merged (fw, kh*kw, c) operands — skips four in-VMEM
+# sublane relayouts per cell if Mosaic lowers the extra leading dim as a loop.
+# Default set by measurement (tools/bench_invres.py --rank4).
+RANK4_DOT = False
+
+
 def _fold_bn(scale, bias, mean, var, eps):
     inv = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
     s = scale.astype(jnp.float32) * inv
@@ -41,7 +48,8 @@ def _fold_bn(scale, bias, mean, var, eps):
 
 
 def _kernel(xm, xrt, xct, xcn, w1_ref, w2_ref, w3_ref, bn_ref, out_ref, *,
-            ph, pw, fw, cin, hidden, out_ch, k, residual, act_max):
+            ph, pw, fw, cin, hidden, out_ch, k, residual, act_max,
+            rank4=False):
     """Grid cell = one (batch, patch-row, patch-chunk) band of `fw` patches:
     the band is assembled from the four overlapping full-map views, then the
     three stages run as fw-batched dot_generals (MXU) and row-wide depthwise
@@ -75,14 +83,25 @@ def _kernel(xm, xrt, xct, xcn, w1_ref, w2_ref, w3_ref, bn_ref, out_ref, *,
     halo = halo[:, :cwid].reshape(kh, fw, pw, cin)[:, :, :2 * pad]
     xp = jnp.transpose(jnp.concatenate([main, halo], axis=2), (1, 0, 2, 3))
 
-    # stage 1: fw-batched (kh*kw, cin) @ (cin, hidden)
-    h = lax.dot_general(
-        xp.reshape(fw, kh * kw, cin).astype(jnp.bfloat16),
-        w1_ref[0, 0].astype(jnp.bfloat16),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                # (fw, kh*kw, hidden)
-    h = jnp.clip(h * s1 + b1, 0.0, act_max)
-    h = h.reshape(fw, kh, kw, hidden).astype(jnp.bfloat16)
+    # stage 1: fw-batched (kh*kw, cin) @ (cin, hidden). rank4 keeps the
+    # operand as (fw, kh, kw, cin) and contracts axis 3 directly — the
+    # (kh, kw) merge/split reshapes change the sublane dim, so skipping them
+    # saves two in-VMEM relayouts per stage if Mosaic lowers the rank-4 dot
+    # natively (A/B: tools/bench_invres.py).
+    if rank4:
+        h = lax.dot_general(
+            xp.astype(jnp.bfloat16), w1_ref[0, 0].astype(jnp.bfloat16),
+            dimension_numbers=(((3,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # (fw, kh, kw, hid)
+        h = jnp.clip(h * s1 + b1, 0.0, act_max).astype(jnp.bfloat16)
+    else:
+        h = lax.dot_general(
+            xp.reshape(fw, kh * kw, cin).astype(jnp.bfloat16),
+            w1_ref[0, 0].astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # (fw, kh*kw, hid)
+        h = jnp.clip(h * s1 + b1, 0.0, act_max)
+        h = h.reshape(fw, kh, kw, hidden).astype(jnp.bfloat16)
     # stage 2: k x k depthwise VALID, all patches at once (f32 accumulate:
     # measured FASTER than bf16 taps — the VPU pack/unpack outweighs the
     # halved element count)
@@ -95,16 +114,26 @@ def _kernel(xm, xrt, xct, xcn, w1_ref, w2_ref, w3_ref, bn_ref, out_ref, *,
                          * tap_w)
     d = jnp.clip(acc * s2 + b2, 0.0, act_max).astype(jnp.bfloat16)
     # stage 3: fw-batched (ph*pw, hidden) @ (hidden, out)
-    o = lax.dot_general(
-        d.reshape(fw, ph * pw, hidden),
-        w3_ref[0, 0].astype(jnp.bfloat16),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                # (fw, ph*pw, out)
-    o = o * s3 + b3
-    if residual:
-        ctr = xp[:, pad:pad + ph, pad:pad + pw, :]
-        o = o + ctr.reshape(fw, ph * pw, cin).astype(jnp.float32)
-    o = o.reshape(fw, ph, pw, out_ch).astype(out_ref.dtype)
+    if rank4:
+        o = lax.dot_general(
+            d, w3_ref[0, 0].astype(jnp.bfloat16),
+            dimension_numbers=(((3,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # (fw, ph, pw, out)
+        o = o * s3 + b3
+        if residual:
+            o = o + xp[:, pad:pad + ph, pad:pad + pw, :].astype(jnp.float32)
+        o = o.astype(out_ref.dtype)
+    else:
+        o = lax.dot_general(
+            d.reshape(fw, ph * pw, hidden),
+            w3_ref[0, 0].astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # (fw, ph*pw, out)
+        o = o * s3 + b3
+        if residual:
+            ctr = xp[:, pad:pad + ph, pad:pad + pw, :]
+            o = o + ctr.reshape(fw, ph * pw, cin).astype(jnp.float32)
+        o = o.reshape(fw, ph, pw, out_ch).astype(out_ref.dtype)
     # (fw, ph, pw, out) -> (ph, fw*pw, out)
     out_ref[0, 0] = jnp.swapaxes(o, 0, 1).reshape(ph, fw * pw, out_ch)
 
@@ -123,7 +152,7 @@ def supported(x_shape, w_shape, kernel):
 def patch_inverted_residual_fused(x, w, *, hidden, out_ch, kernel=3,
                                   bn1, bn2, bn3, eps=1e-5, act_max=6.0,
                                   padding_mode="reflect", chunk=None,
-                                  interpret=False):
+                                  rank4=None, interpret=False):
     """x: (B, H, W, Cin); w: (B, fh, fw, P) flat per-patch weights with the
     reference layout (in*hidden | hidden*k*k | hidden*out). bn*: tuples of
     (scale, bias, mean, var). Returns (B, H, W, out_ch)."""
@@ -179,9 +208,11 @@ def patch_inverted_residual_fused(x, w, *, hidden, out_ch, kernel=3,
     nchunks = fw // chunk
     cw = chunk * pw
 
+    if rank4 is None:
+        rank4 = RANK4_DOT
     kern = functools.partial(
         _kernel, ph=ph, pw=pw, fw=chunk, cin=cin, hidden=hidden, out_ch=out_ch,
-        k=k, residual=residual, act_max=act_max)
+        k=k, residual=residual, act_max=act_max, rank4=rank4)
 
     out = pl.pallas_call(
         kern,

@@ -51,6 +51,14 @@ def test_invres_fused_matches_oracle(b, fh, fw, ph, pw, cin, hidden, out):
     g, w_ = np.asarray(got).ravel(), np.asarray(want).ravel()
     assert np.corrcoef(g, w_)[0, 1] > 0.999
 
+    # the rank-4 batched-dot formulation is the same arithmetic on unmerged
+    # window shapes — must agree with the merged formulation to fp noise
+    got4 = patch_inverted_residual_fused(
+        x, w, hidden=hidden, out_ch=out, kernel=3,
+        bn1=bns[0], bn2=bns[1], bn3=bns[2], rank4=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got4), np.asarray(got),
+                               atol=1e-5, rtol=1e-5)
+
 
 @pytest.mark.parametrize("shape", [(64, 256), (128, 768), (64, 128)])
 def test_stem_kernel_parity(shape):

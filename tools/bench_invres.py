@@ -62,10 +62,15 @@ def main():
             params[f"u.bn{i}.running_mean"] = jnp.zeros(ch, jnp.float32)
             params[f"u.bn{i}.running_var"] = jnp.ones(ch, jnp.float32)
 
+        from hyperseg_tpu.ops.pallas import patch_invres as PI
         pallas_cfg.ENABLED = False
         t_xla = timed(lambda xx, ww: unit.apply(params, xx, ww), x, w)
         pallas_cfg.ENABLED = True
+        PI.RANK4_DOT = False
         t_pl = timed(lambda xx, ww: unit.apply(params, xx, ww), x, w)
+        PI.RANK4_DOT = True
+        t_r4 = timed(lambda xx, ww: unit.apply(params, xx, ww), x, w)
+        PI.RANK4_DOT = False
         pallas_cfg.ENABLED = False
 
         # parity sanity on the same inputs
@@ -77,7 +82,8 @@ def main():
         pallas_cfg.ENABLED = False
         dev = np.abs(y0 - y1).max() / (np.abs(y0).max() + 1e-6)
         print(f"{name}: xla={t_xla:.3f} ms  pallas={t_pl:.3f} ms  "
-              f"speedup={t_xla / t_pl:.2f}x  rel_dev={dev:.2e}")
+              f"rank4={t_r4:.3f} ms  speedup={t_xla / t_pl:.2f}x  "
+              f"rel_dev={dev:.2e}")
 
 
 if __name__ == "__main__":
