@@ -88,6 +88,10 @@ class PatchConvUnit:
             # batch >= 2.
             out = P.fullmap_depthwise(x, w, fh, fw, self.kernel,
                                       mode=self.padding_mode)
+        elif (P.FULLMAP_POINTWISE and self.kernel == 1 and self.pad == 0
+                and self.stride == 1 and h % fh == 0 and wd % fw == 0):
+            # same contraction without the two (ph <-> fw) HBM transposes
+            out = P.fullmap_pointwise(x, w, fh, fw, self.out_ch, self.groups)
         else:
             if self.pad > 0:
                 xp = P.extract_patches_with_halo(

@@ -25,6 +25,12 @@ import jax.numpy as jnp
 from hyperseg_tpu.nn import functional as F
 
 
+# Route eligible per-patch 1x1 convs through fullmap_pointwise (below)
+# instead of block_patches + patch_pointwise + unblock_patches. A/B lever —
+# default set by measurement on the chip (tools/bench_pointwise.py).
+FULLMAP_POINTWISE = True
+
+
 def block_patches(x, fh, fw):
     """(B, H, W, C) -> (B, fh, fw, ph, pw, C)."""
     b, h, w, c = x.shape
@@ -71,6 +77,33 @@ def patch_pointwise(xp, w, out_channels, groups=1):
     xg = xp.reshape(b, fh, fw, h, wd, groups, cpg)
     out = jnp.einsum("bfghwnc,bfgnoc->bfghwno", xg, wk)
     return out.reshape(b, fh, fw, h, wd, out_channels)
+
+
+def fullmap_pointwise(x, w, fh, fw, out_channels, groups=1):
+    """Per-patch 1x1 conv computed on the patch-blocked VIEW of the full map.
+
+    Numerically the same contraction as block_patches + patch_pointwise +
+    unblock_patches, but the operand keeps the (B, fh, ph, fw, pw, C) layout —
+    both reshapes to/from the (B, H, W, C) map are free, so the two explicit
+    (ph <-> fw) HBM transposes disappear and XLA is left to fold any needed
+    relayout into the dot itself. At batch 1 XLA fuses either form; at
+    batch >= 2 the explicit transposes materialize (the same relayout tax as
+    the 6D halo tensor, see fullmap_depthwise). x: (B, H, W, Cin);
+    w: (B, fh, fw, P), P = out_channels * Cin // groups. -> (B, H, W, out)."""
+    b, h, wd, cin = x.shape
+    ph, pw = h // fh, wd // fw
+    xv = x.reshape(b, fh, ph, fw, pw, cin)
+    if groups == 1:
+        wk = w.reshape(b, fh, fw, out_channels, cin).astype(x.dtype)
+        out = jnp.einsum("bfpgqc,bfgoc->bfpgqo", xv, wk)
+    else:
+        cpg = cin // groups
+        opg = out_channels // groups
+        wk = w.reshape(b, fh, fw, groups, opg, cpg).astype(x.dtype)
+        xg = xv.reshape(b, fh, ph, fw, pw, groups, cpg)
+        out = jnp.einsum("bfpgqnc,bfgnoc->bfpgqno", xg, wk)
+        out = out.reshape(b, fh, ph, fw, pw, out_channels)
+    return out.reshape(b, h, wd, out_channels)
 
 
 def patch_depthwise_valid(xp, w, kernel_size):

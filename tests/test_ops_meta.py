@@ -128,6 +128,24 @@ def test_fullmap_depthwise_matches_patch_path(b, c, fh, fw, ph, pw, k, mode):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize("groups", [1, 2, 4])
+@pytest.mark.parametrize("b,cin,cout,fh,fw,ph,pw",
+                         [(2, 8, 12, 3, 2, 8, 8), (1, 4, 4, 2, 4, 16, 8)])
+def test_fullmap_pointwise_matches_patch_path(b, cin, cout, fh, fw, ph, pw,
+                                              groups):
+    """fullmap_pointwise is the transpose-free formulation of block_patches +
+    patch_pointwise + unblock_patches — same per-patch contraction on the
+    blocked view of the full map."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(b, fh * ph, fw * pw, cin), jnp.float32)
+    w = jnp.asarray(rng.randn(b, fh, fw, cout * cin // groups), jnp.float32)
+    xp = P.block_patches(x, fh, fw)
+    want = P.unblock_patches(P.patch_pointwise(xp, w, cout, groups))
+    got = P.fullmap_pointwise(x, w, fh, fw, cout, groups)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_meta_patch_conv2d_wrapper(reference, torch):
     from hyperseg.models.layers.meta_patch import MetaPatchConv2d
     b, cin, cout, fh, fw, ph, pw, k = 1, 6, 5, 2, 2, 8, 8, 3
