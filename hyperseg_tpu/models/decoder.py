@@ -152,9 +152,14 @@ class InvResUnit:
                 x, w, hidden=self.hidden, out_ch=self.out_ch, kernel=self.kernel,
                 bn1=bn("bn1"), bn2=bn("bn2"), bn3=bn("bn3"), eps=BN_EPS,
                 padding_mode=self.padding_mode)
+        b, hgt, wid, _ = x.shape
+        fh, fw = w.shape[1], w.shape[2]
+        if (P.FULLMAP_INVRES and self.stride == 1 and self.kernel % 2 == 1
+                and hgt % fh == 0 and wid % fw == 0
+                and ((ctx is not None and ctx.train) or b >= 2)):
+            return self._apply_fullmap(params, x, w, ctx)
         act = F.ACTIVATIONS[self.act]
         r = self.ranges
-        fh, fw = w.shape[1], w.shape[2]
         pad = self.kernel // 2
         xp = P.extract_patches_with_halo(x, fh, fw, (pad, pad), mode=self.padding_mode)
 
@@ -172,6 +177,47 @@ class InvResUnit:
         if self.stride == 1 and self.in_ch == self.out_ch:
             out = out + x
         return out
+
+    def _apply_fullmap(self, params, x, w, ctx):
+        """Full-map formulation of the same unit: the 1x1 expand runs once on
+        the un-halo'd map (fullmap_pointwise); the halo ring — exactly the
+        pixels where a full-map 1x1 would use the wrong patch's weights — is
+        produced by thin per-patch band einsums with center-patch weights;
+        bn1 normalizes the map+bands multiset (the same element multiset as
+        the reference's halo'd tensor, hyperseg_v1_0.py:336-352); depthwise
+        and project run on the interleaved blocked layout. The 6D gather
+        tensor never exists (~5x HBM tiling pad at batch >= 2), and unlike
+        the eval-only Pallas kernel this path is differentiable, so it also
+        serves the training step."""
+        act = F.ACTIVATIONS[self.act]
+        r = self.ranges
+        b, hgt, wid, _ = x.shape
+        fh, fw = w.shape[1], w.shape[2]
+        ph, pw = hgt // fh, wid // fw
+        pad = self.kernel // 2
+
+        def bn(name, t):
+            return F.apply_bn(params, f"{self.prefix}.{name}", t, ctx,
+                              eps=BN_EPS, momentum=BN_MOMENTUM)
+
+        w1 = w[..., r[0]:r[1]]
+        a = P.fullmap_pointwise(x, w1, fh, fw, self.hidden)
+        bands = P.halo_bands_pointwise(x, w1, fh, fw, pad, self.hidden,
+                                       mode=self.padding_mode)
+        a, top, bot, lft, rgt = F.apply_bn_multi(
+            params, f"{self.prefix}.bn1", (a,) + bands, ctx,
+            eps=BN_EPS, momentum=BN_MOMENTUM)
+        ablk = act(a).reshape(b, fh, ph, fw, pw, self.hidden)
+        xb = P.assemble_halo_blocked(ablk, act(top), act(bot), act(lft),
+                                     act(rgt))
+        d = P.blocked_depthwise_valid(xb, w[..., r[1]:r[2]],
+                                      (self.kernel, self.kernel))
+        d = act(bn("bn2", d.reshape(b, hgt, wid, self.hidden)))
+        o = P.fullmap_pointwise(d, w[..., r[2]:r[3]], fh, fw, self.out_ch)
+        o = bn("bn3", o)
+        if self.stride == 1 and self.in_ch == self.out_ch:
+            o = o + x
+        return o
 
 
 @dataclass

@@ -233,6 +233,41 @@ def apply_bn(params, prefix, x, ctx: Ctx | None = None, *, eps=1e-5,
     return y
 
 
+def apply_bn_multi(params, prefix, parts, ctx: Ctx | None = None, *,
+                   eps=1e-5, momentum=0.1):
+    """BatchNorm whose statistic multiset is the UNION of several channel-last
+    tensors (e.g. a full map plus its halo bands, which together are exactly
+    the halo'd patch tensor the reference normalizes). Eval: running-stats
+    affine on every part. Train: two-pass batch stats over all parts jointly,
+    running stats recorded in ctx like apply_bn. Returns the normalized parts
+    in order."""
+    scale = params[f"{prefix}.weight"]
+    bias = params[f"{prefix}.bias"]
+    mean = params[f"{prefix}.running_mean"]
+    var = params[f"{prefix}.running_var"]
+    if ctx is None or not ctx.train:
+        return tuple(batch_norm(p, scale, bias, mean, var, eps=eps)
+                     for p in parts)
+    n = sum(int(np.prod(p.shape[:-1])) for p in parts)
+    s = sum(jnp.sum(p.astype(jnp.float32), axis=tuple(range(p.ndim - 1)))
+            for p in parts)
+    batch_mean = s / n
+    sq = sum(jnp.sum(jnp.square(p.astype(jnp.float32) - batch_mean),
+                     axis=tuple(range(p.ndim - 1))) for p in parts)
+    batch_var = jnp.maximum(sq / n, 0.0)
+    unbiased = batch_var * (n / max(n - 1, 1))
+    ctx.updates[f"{prefix}.running_mean"] = (
+        (1 - momentum) * mean.astype(jnp.float32) + momentum * batch_mean)
+    ctx.updates[f"{prefix}.running_var"] = (
+        (1 - momentum) * var.astype(jnp.float32) + momentum * unbiased)
+    ctx.batch_stats[f"{prefix}.running_mean"] = batch_mean
+    ctx.batch_stats[f"{prefix}.running_var"] = batch_var
+    inv = lax.rsqrt(batch_var + eps)
+    w = scale.astype(jnp.float32) * inv
+    b = bias.astype(jnp.float32) - batch_mean * w
+    return tuple(p * w.astype(p.dtype) + b.astype(p.dtype) for p in parts)
+
+
 # ---------------------------------------------------------------------------
 # Activations
 # ---------------------------------------------------------------------------

@@ -30,6 +30,16 @@ from hyperseg_tpu.nn import functional as F
 # default set by measurement on the chip (tools/bench_pointwise.py).
 FULLMAP_POINTWISE = True
 
+# Route eligible InvResUnits (stride 1, odd kernel, dividing patch grid)
+# through the full-map formulation — expand on the un-halo'd map + halo band
+# einsums + interleaved blocked depthwise — instead of the 6D gather path.
+# Dispatched in training and at eval batch >= 2 when the Pallas kernel
+# doesn't take the call. A/B lever (tools/bench_invres_train.py); default ON
+# a priori: the gather path's 6D halo tensor tiles ~5x padded in HBM at
+# batch >= 2 (BENCHMARKS.md batch-scaling study) and the band einsums avoid
+# it entirely. Re-measure on-chip when the tunnel is live.
+FULLMAP_INVRES = True
+
 
 def block_patches(x, fh, fw):
     """(B, H, W, C) -> (B, fh, fw, ph, pw, C)."""
@@ -104,6 +114,76 @@ def fullmap_pointwise(x, w, fh, fw, out_channels, groups=1):
         out = jnp.einsum("bfpgqnc,bfgnoc->bfpgqno", xg, wk)
         out = out.reshape(b, fh, ph, fw, pw, out_channels)
     return out.reshape(b, h, wd, out_channels)
+
+
+def halo_bands_pointwise(x, w, fh, fw, pad, out_channels, mode="reflect"):
+    """Per-patch 1x1 conv evaluated only on each patch's halo ring, with the
+    CENTER patch's weights — the pieces of the halo'd expand tensor that a
+    full-map 1x1 (fullmap_pointwise) cannot produce, because there the
+    neighbouring pixels get the neighbour's weights.
+
+    x: (B, H, W, Cin) unpadded map; w: (B, fh, fw, out*Cin) flat.
+    Returns (top, bottom, left, right):
+      top/bottom: (B, fh, pad, fw, pw+2*pad, out) — full window width, so the
+                  four window corners live here;
+      left/right: (B, fh, ph, fw, pad, out) — interior rows only.
+    Band values are bit-identical to the corresponding halo ring of
+    extract_patches_with_halo + patch_pointwise (same pad2d source, same
+    contraction)."""
+    b, h, wd, cin = x.shape
+    ph, pw = h // fh, wd // fw
+    xpad = F.pad2d(x, ((pad, pad), (pad, pad)), mode=mode)
+    wk = w.reshape(b, fh, fw, out_channels, cin).astype(x.dtype)
+
+    col_wide = (np.arange(fw)[:, None] * pw
+                + np.arange(pw + 2 * pad)[None, :])         # window cols
+    row_in = (np.arange(fh)[:, None] * ph
+              + pad + np.arange(ph)[None, :])               # interior rows
+
+    def row_band(row0):
+        rows = np.arange(fh)[:, None] * ph + row0 + np.arange(pad)[None, :]
+        t = xpad[:, rows]                  # (B, fh, pad, W+2pad, Cin)
+        t = t[:, :, :, col_wide]           # (B, fh, pad, fw, pw+2pad, Cin)
+        return jnp.einsum("bfrgwc,bfgoc->bfrgwo", t, wk)
+
+    def col_band(col0):
+        cols = np.arange(fw)[:, None] * pw + col0 + np.arange(pad)[None, :]
+        t = xpad[:, row_in]                # (B, fh, ph, W+2pad, Cin)
+        t = t[:, :, :, cols]               # (B, fh, ph, fw, pad, Cin)
+        return jnp.einsum("bfpgqc,bfgoc->bfpgqo", t, wk)
+
+    return (row_band(0), row_band(ph + pad),
+            col_band(0), col_band(pw + pad))
+
+
+def assemble_halo_blocked(center_blk, top, bottom, left, right):
+    """Concat a blocked map (B, fh, ph, fw, pw, C) with its halo bands into
+    the interleaved halo'd layout (B, fh, ph+2pad, fw, pw+2pad, C).
+
+    Same elements as extract_patches_with_halo's (B, fh, fw, ph+2p, pw+2p, C)
+    but keeps channels/pw on the (lane, sublane) dims — the gather layout
+    tiles ~5x padded in HBM at batch >= 2, this one ~2x."""
+    wide = jnp.concatenate([left, center_blk, right], axis=4)
+    return jnp.concatenate([top, wide, bottom], axis=2)
+
+
+def blocked_depthwise_valid(xb, w, kernel_size):
+    """Depthwise kxk VALID conv on the interleaved blocked layout.
+
+    xb: (B, fh, ph+kh-1, fw, pw+kw-1, C); w: (B, fh, fw, C*kh*kw) unpacking
+    as (C, kh, kw). -> (B, fh, ph, fw, pw, C). Same tap order as
+    patch_depthwise_valid."""
+    b, fh, hh, fw, ww, c = xb.shape
+    kh, kw = kernel_size
+    oh, ow = hh - kh + 1, ww - kw + 1
+    wk = w.reshape(b, fh, fw, c, kh, kw).astype(xb.dtype)
+    out = None
+    for di in range(kh):
+        for dj in range(kw):
+            tap = (xb[:, :, di:di + oh, :, dj:dj + ow, :]
+                   * wk[:, :, None, :, None, :, di, dj])
+            out = tap if out is None else out + tap
+    return out
 
 
 def patch_depthwise_valid(xp, w, kernel_size):

@@ -146,6 +146,49 @@ def test_fullmap_pointwise_matches_patch_path(b, cin, cout, fh, fw, ph, pw,
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("train", [False, True])
+@pytest.mark.parametrize("cin,cout,mode", [(10, 10, "reflect"),
+                                           (8, 12, "replicate")])
+def test_invres_fullmap_matches_patch_path(train, cin, cout, mode,
+                                           monkeypatch):
+    """The full-map InvRes formulation (expand on the un-halo'd map + halo
+    band einsums + interleaved blocked depthwise, with bn1 over the map+bands
+    multiset) must match the halo-gather oracle path in BOTH modes — in train,
+    outputs AND the recorded BN running-stat updates."""
+    from hyperseg_tpu.models.decoder import InvResUnit
+    from hyperseg_tpu.nn import functional as F
+
+    b, hid, fh, fw, ph, pw, k = 2, 20, 3, 2, 8, 16, 3
+    unit = InvResUnit(prefix="u", in_ch=cin, out_ch=cout, hidden=hid,
+                      kernel=k, padding_mode=mode)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(b, fh * ph, fw * pw, cin), jnp.float32)
+    w = jnp.asarray(rng.randn(b, fh, fw, unit.hyper_params) * 0.1, jnp.float32)
+    params = {}
+    for i, ch in [(1, hid), (2, hid), (3, cout)]:
+        params[f"u.bn{i}.weight"] = jnp.asarray(0.5 + rng.rand(ch), jnp.float32)
+        params[f"u.bn{i}.bias"] = jnp.asarray(rng.randn(ch), jnp.float32)
+        params[f"u.bn{i}.running_mean"] = jnp.asarray(rng.randn(ch) * 0.1,
+                                                      jnp.float32)
+        params[f"u.bn{i}.running_var"] = jnp.asarray(0.5 + rng.rand(ch),
+                                                     jnp.float32)
+
+    def run(fullmap):
+        monkeypatch.setattr(P, "FULLMAP_INVRES", fullmap)
+        ctx = F.Ctx(train=True) if train else None
+        out = unit.apply(params, x, w, ctx)
+        return np.asarray(out), (ctx.updates if ctx else {})
+
+    want, want_upd = run(False)
+    got, got_upd = run(True)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+    assert set(got_upd) == set(want_upd)
+    for key in want_upd:
+        np.testing.assert_allclose(np.asarray(got_upd[key]),
+                                   np.asarray(want_upd[key]),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_meta_patch_conv2d_wrapper(reference, torch):
     from hyperseg.models.layers.meta_patch import MetaPatchConv2d
     b, cin, cout, fh, fw, ph, pw, k = 1, 6, 5, 2, 2, 8, 8, 3
