@@ -189,6 +189,47 @@ def test_invres_fullmap_matches_patch_path(train, cin, cout, mode,
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_invres_fullmap_gradients_match_patch_path(monkeypatch):
+    """FULLMAP_INVRES dispatches inside the jitted TRAINING step, so its
+    gradients (w.r.t. the input map, the hyper-weights, and the BN affines)
+    must match the halo-gather oracle path, not just its outputs."""
+    import jax
+    from hyperseg_tpu.models.decoder import InvResUnit
+    from hyperseg_tpu.nn import functional as F
+
+    b, cin, cout, hid, fh, fw, ph, pw, k = 2, 10, 10, 20, 3, 2, 8, 16, 3
+    unit = InvResUnit(prefix="u", in_ch=cin, out_ch=cout, hidden=hid,
+                      kernel=k, padding_mode="reflect")
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(b, fh * ph, fw * pw, cin), jnp.float32)
+    w = jnp.asarray(rng.randn(b, fh, fw, unit.hyper_params) * 0.1, jnp.float32)
+    params = {}
+    for i, ch in [(1, hid), (2, hid), (3, cout)]:
+        params[f"u.bn{i}.weight"] = jnp.asarray(0.5 + rng.rand(ch), jnp.float32)
+        params[f"u.bn{i}.bias"] = jnp.asarray(rng.randn(ch), jnp.float32)
+        params[f"u.bn{i}.running_mean"] = jnp.zeros(ch, jnp.float32)
+        params[f"u.bn{i}.running_var"] = jnp.ones(ch, jnp.float32)
+    cot = jnp.asarray(rng.randn(b, fh * ph, fw * pw, cout), jnp.float32)
+
+    def loss(xx, ww, pp):
+        y = unit.apply(pp, xx, ww, F.Ctx(train=True))
+        return jnp.sum(y * cot)
+
+    def grads(fullmap):
+        monkeypatch.setattr(P, "FULLMAP_INVRES", fullmap)
+        return jax.grad(loss, argnums=(0, 1, 2))(x, w, params)
+
+    want, got = grads(False), grads(True)
+    names = ["d_x", "d_w"] + [f"d_{k}" for k in sorted(params)]
+    flat_w = list(want[:2]) + [want[2][k] for k in sorted(params)]
+    flat_g = list(got[:2]) + [got[2][k] for k in sorted(params)]
+    for name, a, bb in zip(names, flat_w, flat_g):
+        scale = max(float(np.abs(np.asarray(a)).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(bb) / scale,
+                                   np.asarray(a) / scale,
+                                   atol=5e-5, err_msg=name)
+
+
 def test_meta_patch_conv2d_wrapper(reference, torch):
     from hyperseg.models.layers.meta_patch import MetaPatchConv2d
     b, cin, cout, fh, fw, ph, pw, k = 1, 6, 5, 2, 2, 8, 8, 3
