@@ -146,7 +146,9 @@ class EfficientNet:
         self.return_features = return_features
         self.drop_connect_rate = drop_connect_rate
         self.dropout_rate = default_dropout if dropout_rate is None else dropout_rate
-        self.remat = remat  # jax.checkpoint each block during training
+        # jax.checkpoint each block during training; spec per
+        # F.checkpoint_policy (False | True/'full' | 'dots')
+        self.remat = remat
 
         size = [nominal, nominal]
         self.stem_ch = round_filters(32, width)
@@ -453,7 +455,8 @@ class EfficientNet:
                                          drop_rate=dr_, rng=r_)
                         return y_, bctx.updates
                     r_i = rngs[i] if rngs[i] is not None else jax.random.PRNGKey(0)
-                    x, upd = jax.checkpoint(block_fn)(params, x, r_i)
+                    _, policy = F.checkpoint_policy(self.remat)
+                    x, upd = jax.checkpoint(block_fn, policy=policy)(params, x, r_i)
                     if ctx is not None:
                         ctx.updates.update(upd)
                 else:

@@ -156,7 +156,8 @@ class InvResUnit:
         fh, fw = w.shape[1], w.shape[2]
         if (P.FULLMAP_INVRES and self.stride == 1 and self.kernel % 2 == 1
                 and hgt % fh == 0 and wid % fw == 0
-                and ((ctx is not None and ctx.train) or b >= 2)):
+                and ((ctx is not None and ctx.train)
+                     or b >= P.FULLMAP_INVRES_EVAL_MIN_BATCH)):
             return self._apply_fullmap(params, x, w, ctx)
         act = F.ACTIVATIONS[self.act]
         r = self.ranges
@@ -279,10 +280,12 @@ Unit = Union[PatchConvUnit, InvResUnit, V01InvResUnit]
 
 def apply_unit(params, u, x, w, ctx, *, remat=False):
     """Apply a hyper unit, optionally under jax.checkpoint during training
-    (the halo-expanded hidden tensors dominate training memory). Remat-safe:
+    (the halo-expanded hidden tensors dominate training memory). `remat` is a
+    spec for F.checkpoint_policy (False | True/'full' | 'dots'). Remat-safe:
     the unit runs in its own Ctx so BN-state updates flow out as function
     outputs rather than side effects."""
-    if not (remat and ctx is not None and ctx.train):
+    enabled, policy = F.checkpoint_policy(remat)
+    if not (enabled and ctx is not None and ctx.train):
         return u.apply(params, x, w, ctx)
 
     def fn(p_, x_, w_):
@@ -290,7 +293,7 @@ def apply_unit(params, u, x, w, ctx, *, remat=False):
         y_ = u.apply(p_, x_, w_, uctx)
         return y_, uctx.updates
 
-    y, upd = jax.checkpoint(fn)(params, x, w)
+    y, upd = jax.checkpoint(fn, policy=policy)(params, x, w)
     ctx.updates.update(upd)
     return y
 

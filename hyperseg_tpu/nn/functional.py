@@ -268,6 +268,27 @@ def apply_bn_multi(params, prefix, parts, ctx: Ctx | None = None, *,
     return tuple(p * w.astype(p.dtype) + b.astype(p.dtype) for p in parts)
 
 
+def checkpoint_policy(spec):
+    """Map a remat spec to (enabled, policy) for jax.checkpoint.
+
+    False      -> no remat (all activations resident through the backward).
+    True/'full'-> save nothing: every activation recomputed in the backward —
+                  minimum HBM, maximum recompute FLOPs.
+    'dots'     -> jax.checkpoint_policies.dots_saveable: MXU dot/conv outputs
+                  stay resident, only the elementwise/BN/activation chains
+                  between them (cheap VPU work) are recomputed — the usual
+                  TPU sweet spot when HBM allows it.
+    A/B on-chip: tools/bench_train.py sweeps the spec per component."""
+    if not spec:
+        return False, None
+    if spec is True or spec == "full":
+        return True, None
+    if spec == "dots":
+        import jax
+        return True, jax.checkpoint_policies.dots_saveable
+    raise ValueError(f"unknown remat spec {spec!r}")
+
+
 # ---------------------------------------------------------------------------
 # Activations
 # ---------------------------------------------------------------------------

@@ -39,6 +39,10 @@ FULLMAP_POINTWISE = True
 # batch >= 2 (BENCHMARKS.md batch-scaling study) and the band einsums avoid
 # it entirely. Re-measure on-chip when the tunnel is live.
 FULLMAP_INVRES = True
+# Eval-mode batch gate: at batch 1 XLA fuses the gather path nearly for free
+# (BENCHMARKS.md batch-scaling study), so the fullmap form only dispatches at
+# batch >= this. Set to 1 to A/B the fullmap form at batch 1.
+FULLMAP_INVRES_EVAL_MIN_BATCH = 2
 
 
 def block_patches(x, fh, fw):

@@ -33,12 +33,13 @@ def _grads(decoder_remat, backbone_remat, img, lbl):
 
 
 @pytest.mark.slow
-def test_remat_grads_match():
+@pytest.mark.parametrize("spec", [True, "dots"])
+def test_remat_grads_match(spec):
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
     lbl = jnp.asarray(rng.randint(0, 4, (2, 64, 64)), jnp.int32)
     loss0, g0 = _grads(False, False, img, lbl)
-    loss1, g1 = _grads(True, True, img, lbl)
+    loss1, g1 = _grads(spec, spec, img, lbl)
     assert loss0 == pytest.approx(loss1, rel=1e-6)
     # near-zero gradients are pure noise at random init, so compare against
     # the per-tensor magnitude floored by a fraction of the global scale

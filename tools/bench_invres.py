@@ -62,28 +62,43 @@ def main():
             params[f"u.bn{i}.running_mean"] = jnp.zeros(ch, jnp.float32)
             params[f"u.bn{i}.running_var"] = jnp.ones(ch, jnp.float32)
 
+        from hyperseg_tpu.ops import patch as Pops
         from hyperseg_tpu.ops.pallas import patch_invres as PI
-        pallas_cfg.ENABLED = False
-        t_xla = timed(lambda xx, ww: unit.apply(params, xx, ww), x, w)
-        pallas_cfg.ENABLED = True
-        PI.RANK4_DOT = False
-        t_pl = timed(lambda xx, ww: unit.apply(params, xx, ww), x, w)
-        PI.RANK4_DOT = True
-        t_r4 = timed(lambda xx, ww: unit.apply(params, xx, ww), x, w)
-        PI.RANK4_DOT = False
-        pallas_cfg.ENABLED = False
 
-        # parity sanity on the same inputs
-        y0 = np.asarray(unit.apply(params, x.astype(jnp.float32),
-                                   w.astype(jnp.float32)))
-        pallas_cfg.ENABLED = True
-        y1 = np.asarray(unit.apply(params, x.astype(jnp.float32),
-                                   w.astype(jnp.float32)))
-        pallas_cfg.ENABLED = False
-        dev = np.abs(y0 - y1).max() / (np.abs(y0).max() + 1e-6)
-        print(f"{name}: xla={t_xla:.3f} ms  pallas={t_pl:.3f} ms  "
-              f"rank4={t_r4:.3f} ms  speedup={t_xla / t_pl:.2f}x  "
-              f"rel_dev={dev:.2e}")
+        # Pin each path explicitly: the default dispatch gates (batch-based
+        # kernel dispatch, fullmap eval gate) would otherwise silently remap
+        # which formulation "xla" means at batch >= 2.
+        def pin(kernel=False, fullmap=False, rank4=False):
+            pallas_cfg.ENABLED = kernel
+            pallas_cfg.INVRES_MIN_BATCH = 1 if kernel else 10 ** 9
+            Pops.FULLMAP_INVRES = fullmap
+            Pops.FULLMAP_INVRES_EVAL_MIN_BATCH = 1
+            PI.RANK4_DOT = rank4
+
+        variants = [("gather", dict()),
+                    ("fullmap", dict(fullmap=True)),
+                    ("pallas", dict(kernel=True)),
+                    ("rank4", dict(kernel=True, rank4=True))]
+        times, outs = {}, {}
+        for vname, kw in variants:
+            pin(**kw)
+            times[vname] = timed(lambda xx, ww: unit.apply(params, xx, ww),
+                                 x, w)
+            outs[vname] = np.asarray(unit.apply(
+                params, x.astype(jnp.float32), w.astype(jnp.float32)))
+        pin()
+        pallas_cfg.INVRES_MIN_BATCH = 2
+        Pops.FULLMAP_INVRES = True
+        Pops.FULLMAP_INVRES_EVAL_MIN_BATCH = 2
+
+        ref = outs["gather"]
+        devs = {v: np.abs(outs[v] - ref).max() / (np.abs(ref).max() + 1e-6)
+                for v in outs}
+        best = min(times, key=times.get)
+        print(f"{name}: " + "  ".join(f"{v}={times[v]:.3f}ms" for v, _ in
+                                      variants)
+              + f"  best={best}  max_rel_dev="
+              + f"{max(devs.values()):.2e}")
 
 
 if __name__ == "__main__":

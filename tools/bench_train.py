@@ -51,8 +51,8 @@ def build(remat, batch):
     from hyperseg_tpu.train import losses as L, schedule as S, step as T
     from __graft_entry__ import HYPERSEG_M_KW
 
-    model = V1.hyperseg_efficientnet("efficientnet-b1", remat=remat,
-                                     **HYPERSEG_M_KW)
+    model = V1.hyperseg_efficientnet("efficientnet-b1", backbone_remat=remat,
+                                     decoder_remat=remat, **HYPERSEG_M_KW)
     params = model.init(jax.random.PRNGKey(0))
     criterion = L.BootstrappedCrossEntropyLoss(k=4096 * batch, thresh=0.3,
                                                ignore_index=255)
@@ -76,7 +76,7 @@ def main():
     print("| batch | remat | component | ms/step | img/s |")
     print("|---|---|---|---|---|")
     for batch in batches:
-        for remat in (True, False):
+        for remat in (False, True, "dots"):
             model, criterion, optimizer, train_step, state, data = build(
                 remat, batch)
 
@@ -114,12 +114,14 @@ def main():
             rows = [("forward", fwd_only), ("fwd+loss", fwd_loss),
                     ("fwd+bwd", fwd_bwd), ("full step", full)]
             try:
+                tag = {False: "off", True: "full"}.get(remat, remat)
                 for name, fn in rows:
                     ms = timed_steps(fn, state, data)
-                    print(f"| {batch} | {'on' if remat else 'off'} | {name} "
+                    print(f"| {batch} | {tag} | {name} "
                           f"| {ms:.1f} | {batch / ms * 1e3:.1f} |", flush=True)
             except Exception as e:  # OOM at large batch without remat
-                print(f"| {batch} | {'on' if remat else 'off'} | FAILED "
+                tag = {False: "off", True: "full"}.get(remat, remat)
+                print(f"| {batch} | {tag} | FAILED "
                       f"({type(e).__name__}) | - | - |", flush=True)
 
 

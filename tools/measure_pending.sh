@@ -28,6 +28,7 @@ run python tools/bench_invres.py 1
 run python tools/bench_invres.py 8
 run python tools/bench_loss.py
 run python tools/bench_metrics.py
+run python tools/bench_train.py 16
 run python bench.py
 run python tools/bench_check.py
 echo "DONE $LOG"
