@@ -50,6 +50,14 @@ from jax.experimental import pallas as pl
 # costs 1.5x" claim was per-call dispatch bias, not device time.
 SEL_BYTES_CAP = 6 * 1024 * 1024
 
+# De-interleave via a lane-permutation gather (tpu.dynamic_gather) instead of
+# the one-hot selection matmul. The selection matmul is the kernel's dominant
+# cost (~10x the conv's own FLOPs: K=2cin*cw+128 contracted against
+# N=2cin*(cw+8) one-hot columns per row); the gather is the same permutation
+# with no MACs at all. A/B lever (tools/bench_stem.py) — default set by
+# measurement once the chip is reachable; interpret-mode parity either way.
+SEL_GATHER = False
+
 
 def _pick_cw(w2, cin, itemsize):
     """Largest 128-multiple column chunk (preferring the full width) whose
@@ -70,6 +78,22 @@ def supported(h, w, cin, band_rows=32, itemsize=2):
     while rows >= 8 and (h // 2) % rows:
         rows //= 2
     return rows >= 8
+
+
+def _gather_indices(cin, cw):
+    """(1, 2cin*cw + 128) int32 lane-permutation equivalent of
+    _selection_matrix: output lane (cin*p + ci)*cwp + c2 reads input lane
+    cin*(2*c2 + p) + ci. Lanes past 2cin*cwp (alignment spare) read lane 0."""
+    kwi = 2 * cin * cw + 128
+    cwp = cw + 8
+    idx = np.zeros(kwi, np.int32)
+    for c2 in range(cw + 1):
+        for p in range(2):
+            for ci in range(cin):
+                o = (cin * p + ci) * cwp + c2
+                if o < kwi:
+                    idx[o] = cin * (2 * c2 + p) + ci
+    return idx[None, :]
 
 
 def _selection_matrix(cin, cw):
@@ -104,15 +128,21 @@ def _fold_filter(weight, bn_scale, bn_var, eps):
 
 
 def _kernel(xm, xrh, xch, xcc, sel_ref, w_ref, b_ref, o_ref, *,
-            rows, cin, cout, cw, act, planar):
+            rows, cin, cout, cw, act, planar, gather=False):
     """One cell: R output rows x CW output cols, all cout channels."""
     kwi = 2 * cin * cw
     cwp = cw + 8
     top = jnp.concatenate([xm[0], xch[0]], 1)               # (2R, kwi+128)
     bot = jnp.concatenate([xrh[0][:2, :kwi], xcc[0][:2]], 1)
     xb = jnp.concatenate([top, bot], 0)                     # (2R+2, kwi+128)
-    g = lax.dot_general(xb, sel_ref[:], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32).astype(xb.dtype)
+    if gather:
+        # lane-permutation de-interleave: same mapping as the one-hot
+        # matmul, zero MACs (tpu.dynamic_gather along lanes)
+        idx = jnp.broadcast_to(sel_ref[:], xb.shape)
+        g = jnp.take_along_axis(xb, idx, axis=1)[:, :2 * cin * cwp]
+    else:
+        g = lax.dot_general(xb, sel_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32).astype(xb.dtype)
     ts = []
     for dy in range(3):
         # rows 2r+dy for r=0..R-1: stride-2 row select via leading reshape
@@ -136,7 +166,7 @@ def _kernel(xm, xrh, xch, xcc, sel_ref, w_ref, b_ref, o_ref, *,
 
 def stem_conv_bn_swish(x, weight, bn_scale, bn_bias, bn_mean, bn_var, *,
                        eps=1e-3, act="swish", band_rows=32, planar=False,
-                       interpret=False):
+                       gather=None, interpret=False):
     """x: (B, H, W, cin); weight: (3, 3, cin, cout) HWIO; TF-SAME stride-2
     padding ((0,1),(0,1)). Returns NHWC (B, H//2, W//2, cout), or channel-
     planar (B, cout, H//2, W//2) with planar=True (feeds the fused MBConv
@@ -156,7 +186,15 @@ def stem_conv_bn_swish(x, weight, bn_scale, bn_bias, bn_mean, bn_var, *,
     xr = x.reshape(b, h, w * cin)
     xr = jnp.pad(xr, ((0, 0), (0, 16), (0, 128)))
 
-    sel = jnp.asarray(_selection_matrix(cin, cw), x.dtype)
+    if gather is None:
+        gather = SEL_GATHER
+    if gather:
+        sel = jnp.asarray(_gather_indices(cin, cw))          # (1, kwi+128) i32
+        sel_spec = pl.BlockSpec((1, kwi + 128), lambda bi, i, c: (0, 0))
+    else:
+        sel = jnp.asarray(_selection_matrix(cin, cw), x.dtype)
+        sel_spec = pl.BlockSpec((kwi + 128, 2 * cin * (cw + 8)),
+                                lambda bi, i, c: (0, 0))
     wf = _fold_filter(weight, bn_scale, bn_var, eps).astype(x.dtype)
     inv = jax.lax.rsqrt(bn_var.astype(jnp.float32) + eps)
     bias = (bn_bias.astype(jnp.float32)
@@ -164,7 +202,7 @@ def stem_conv_bn_swish(x, weight, bn_scale, bn_bias, bn_mean, bn_var, *,
     bias = bias[None, None, :]                               # (1, 1, cout)
 
     kern = functools.partial(_kernel, rows=rows, cin=cin, cout=cout, cw=cw,
-                             act=act, planar=planar)
+                             act=act, planar=planar, gather=gather)
     out = pl.pallas_call(
         kern,
         grid=(b, h2 // rows, w2 // cw),
@@ -181,8 +219,7 @@ def stem_conv_bn_swish(x, weight, bn_scale, bn_bias, bn_mean, bn_var, *,
             pl.BlockSpec((1, 8, 128),
                          lambda bi, i, c: (bi, (i + 1) * 2 * rows // 8,
                                            (c + 1) * (kwi // 128))),
-            pl.BlockSpec((kwi + 128, 2 * cin * (cw + 8)),
-                         lambda bi, i, c: (0, 0)),
+            sel_spec,
             pl.BlockSpec((12 * cin, cout), lambda bi, i, c: (0, 0)),
             pl.BlockSpec((1, 1, cout), lambda bi, i, c: (0, 0, 0)),
         ],

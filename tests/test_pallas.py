@@ -86,6 +86,10 @@ def test_stem_kernel_parity(shape):
     ref = ref * jax.nn.sigmoid(ref)
     got = S.stem_conv_bn_swish(x, wt, s, b, m, v, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    # lane-permutation gather de-interleave must be the same map exactly
+    got_g = S.stem_conv_bn_swish(x, wt, s, b, m, v, gather=True,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(got), atol=1e-6)
 
 
 def test_mbconv_fused_phases_parity():

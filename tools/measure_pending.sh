@@ -7,6 +7,7 @@
 #   1. ops.patch.FULLMAP_INVRES      (train-path invres; bench_invres_train)
 #   2. ops.patch.FULLMAP_POINTWISE   (per-patch 1x1 transpose-free form)
 #   3. ops.pallas.patch_invres.RANK4_DOT (kernel stage-1/3 batched-dot form)
+#   3b. ops.pallas.stem.SEL_GATHER     (lane-gather vs one-hot matmul)
 #   4. train.losses method sort/select  (bench_loss)
 #   5. train.metrics matmul/bincount confmat (bench_metrics)
 # then the full sweep + canary to refresh BENCHMARKS.md claims.
@@ -26,6 +27,7 @@ run python tools/bench_invres_train.py 8 16
 run python tools/bench_pointwise.py 1 8
 run python tools/bench_invres.py 1
 run python tools/bench_invres.py 8
+run python tools/bench_stem.py 1 8
 run python tools/bench_loss.py
 run python tools/bench_metrics.py
 run python tools/bench_train.py 16
