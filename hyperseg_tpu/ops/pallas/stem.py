@@ -59,11 +59,15 @@ SEL_BYTES_CAP = 6 * 1024 * 1024
 SEL_GATHER = False
 
 
-def _pick_cw(w2, cin, itemsize):
+def _pick_cw(w2, cin, itemsize, gather=False):
     """Largest 128-multiple column chunk (preferring the full width) whose
-    selection matrix stays under the on-chip cap."""
+    selection matrix stays under the on-chip cap. In gather mode the
+    "selection" is a 1-row index vector, so the cap never binds and the full
+    width wins (fewer cells, no column-halo re-reads)."""
     for cw in [w2, 512, 256, 128]:
         if cw <= w2 and cw % 128 == 0 and w2 % cw == 0:
+            if gather:
+                return cw
             sel_bytes = (2 * cin * cw + 128) * (2 * cin * (cw + 8)) * itemsize
             if sel_bytes <= SEL_BYTES_CAP:
                 return cw
@@ -175,19 +179,19 @@ def stem_conv_bn_swish(x, weight, bn_scale, bn_bias, bn_mean, bn_var, *,
     kh, kw_, _, cout = weight.shape
     itemsize = np.dtype(x.dtype).itemsize
     assert kh == 3 and kw_ == 3 and supported(h, w, cin, band_rows, itemsize)
+    if gather is None:
+        gather = SEL_GATHER
     h2, w2 = h // 2, w // 2
     rows = band_rows
     while h2 % rows:
         rows //= 2
-    cw = _pick_cw(w2, cin, itemsize)
+    cw = _pick_cw(w2, cin, itemsize, gather=gather)
     kwi = 2 * cin * cw
 
     # interleaved rows + bottom row pad (8-row halo blocks) + right col pad
     xr = x.reshape(b, h, w * cin)
     xr = jnp.pad(xr, ((0, 0), (0, 16), (0, 128)))
 
-    if gather is None:
-        gather = SEL_GATHER
     if gather:
         sel = jnp.asarray(_gather_indices(cin, cw))          # (1, kwi+128) i32
         sel_spec = pl.BlockSpec((1, kwi + 128), lambda bi, i, c: (0, 0))
