@@ -90,6 +90,11 @@ def test_stem_kernel_parity(shape):
     got_g = S.stem_conv_bn_swish(x, wt, s, b, m, v, gather=True,
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(got_g), np.asarray(got), atol=1e-6)
+    # and in the channel-planar layout the fused MBConv chain consumes
+    got_p = S.stem_conv_bn_swish(x, wt, s, b, m, v, gather=True, planar=True,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got_p),
+                               np.moveaxis(np.asarray(got), -1, 1), atol=1e-6)
 
 
 def test_mbconv_fused_phases_parity():
