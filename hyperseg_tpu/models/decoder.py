@@ -80,7 +80,10 @@ class PatchConvUnit:
     def apply(self, params, x, w, ctx=None):
         b, h, wd, c = x.shape
         fh, fw = w.shape[1], w.shape[2]
-        if (self.kernel > 1 and self.groups == self.in_ch == self.out_ch
+        fullmap_ok = ((ctx is not None and ctx.train)
+                      or b >= P.FULLMAP_MIN_BATCH)
+        if (fullmap_ok and self.kernel > 1
+                and self.groups == self.in_ch == self.out_ch
                 and self.stride == 1 and self.pad == self.kernel // 2
                 and h % fh == 0 and wd % fw == 0):
             # bit-identical to the patch path (see fullmap_depthwise); avoids
@@ -88,7 +91,8 @@ class PatchConvUnit:
             # batch >= 2.
             out = P.fullmap_depthwise(x, w, fh, fw, self.kernel,
                                       mode=self.padding_mode)
-        elif (P.FULLMAP_POINTWISE and self.kernel == 1 and self.pad == 0
+        elif (fullmap_ok and P.FULLMAP_POINTWISE and self.kernel == 1
+                and self.pad == 0
                 and self.stride == 1 and h % fh == 0 and wd % fw == 0):
             # same contraction without the two (ph <-> fw) HBM transposes
             out = P.fullmap_pointwise(x, w, fh, fw, self.out_ch, self.groups)

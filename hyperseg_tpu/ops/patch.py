@@ -30,6 +30,15 @@ from hyperseg_tpu.nn import functional as F
 # default set by measurement on the chip (tools/bench_pointwise.py).
 FULLMAP_POINTWISE = True
 
+# Batch gate for PatchConvUnit's full-map eval forms (pointwise + depthwise):
+# their motivation is the batch >= 2 relayout tax (explicit transposes / 6D
+# halo tensor materializing in HBM); at eval batch 1 XLA fuses the patch
+# forms away and that configuration is what the recorded batch-1 sweep
+# measured — so batch 1 keeps it until the fullmap forms are measured
+# faster there too. Training always takes the full-map forms (the 6D
+# backward is the known-bad case).
+FULLMAP_MIN_BATCH = 2
+
 # Route eligible InvResUnits (stride 1, odd kernel, dividing patch grid)
 # through the full-map formulation — expand on the un-halo'd map + halo band
 # einsums + interleaved blocked depthwise — instead of the 6D gather path.

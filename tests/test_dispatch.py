@@ -103,3 +103,37 @@ def test_invres_batch_dispatch_policy(monkeypatch):
     assert not run(1, 16, 16, 2, 2)        # batch 1 -> XLA
     assert run(2, 16, 16, 2, 2)            # batch 2 -> kernel
     assert not run(2, 12, 12, 2, 2)        # ph=6 not 8-aligned -> XLA
+
+
+def test_patchconv_fullmap_batch_gate(monkeypatch):
+    """PatchConvUnit's full-map eval forms (pointwise + depthwise) dispatch
+    only at batch >= FULLMAP_MIN_BATCH or in training: the recorded batch-1
+    sweep measured the patch-blocked forms, and the full-map forms' motivation
+    (the batch >= 2 relayout tax) doesn't exist at batch 1."""
+    import jax.numpy as jnp
+    import numpy as np
+    from hyperseg_tpu.models.decoder import PatchConvUnit
+    from hyperseg_tpu.nn import functional as F
+    from hyperseg_tpu.ops import patch as P
+
+    rng = np.random.RandomState(0)
+    hits = []
+    for fn in ("fullmap_pointwise", "fullmap_depthwise"):
+        real = getattr(P, fn)
+        monkeypatch.setattr(P, fn, lambda *a, _r=real, _n=fn, **k: (
+            hits.append(_n), _r(*a, **k))[1])
+
+    def run(unit, b, ctx=None):
+        hits.clear()
+        x = jnp.asarray(rng.rand(b, 16, 16, unit.in_ch), jnp.float32)
+        w = jnp.asarray(rng.rand(b, 2, 2, unit.hyper_params) * 0.1)
+        unit.apply({}, x, w, ctx)
+        return list(hits)
+
+    pw = PatchConvUnit(prefix="u", in_ch=4, out_ch=6, kernel=1)
+    dw = PatchConvUnit(prefix="u", in_ch=4, out_ch=4, kernel=3, groups=4,
+                       pad=1)
+    assert run(pw, 1) == [] and run(dw, 1) == []            # batch 1: patch
+    assert run(pw, 2) and run(dw, 2)                        # batch 2: fullmap
+    train = F.Ctx(train=True)
+    assert run(pw, 1, train) and run(dw, 1, train)          # training: always
