@@ -16,28 +16,53 @@ import numpy as np
 
 
 def confusion_matrix(labels, preds, num_classes: int, ignore_index=255,
-                     method="matmul"):
+                     method="matmul", chunk=1 << 17):
     """Batched confusion matrix. labels/preds: int arrays of equal shape.
     Rows = ground truth, cols = prediction (matches both reference
     accumulators, train.py:299-304 and seg_utils.py:22-36).
 
     method="matmul" (default): hist = onehot(labels)^T @ onehot(preds) on the
-    MXU — one-hot bf16 operands (0/1 exact) with f32 accumulation (counts
-    stay < 2^24). method="bincount" keeps the scatter-add formulation:
-    XLA lowers it through TPU scatter, a known slow path at megapixel sizes
-    (A/B: tools/bench_metrics.py)."""
+    MXU — one-hot bf16 operands (0/1 exact) with f32 accumulation. Pixels are
+    processed in `chunk`-sized scan steps: XLA cannot fuse the compare into
+    the dot's operand read, so an unchunked one-hot at the batch-16 training
+    shape (8.4M pixels) would materialize two ~2 GB lane-padded (N, 128)
+    tiles in HBM; chunking caps the transient at ~2*chunk*256 bytes (~67 MB)
+    while the (C, C) f32 accumulator rides the scan carry. Counts stay exact:
+    per-call pixel count < 2^24. method="bincount" keeps the scatter-add
+    formulation — XLA lowers it through TPU scatter, a known slow path at
+    megapixel sizes (A/B: tools/bench_metrics.py)."""
     valid = (labels >= 0) & (labels < num_classes)
     if ignore_index is not None:
         valid &= labels != ignore_index
     if method == "matmul":
-        classes = jnp.arange(num_classes, dtype=labels.dtype)
-        lflat = labels.reshape(-1, 1)
-        pflat = preds.reshape(-1, 1)
-        oh_l = ((lflat == classes) & valid.reshape(-1, 1)).astype(jnp.bfloat16)
-        oh_p = (pflat == classes).astype(jnp.bfloat16)
-        hist = jax.lax.dot_general(
-            oh_l, oh_p, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        classes = jnp.arange(num_classes, dtype=jnp.int32)
+        lflat = labels.reshape(-1).astype(jnp.int32)
+        pflat = preds.reshape(-1).astype(jnp.int32)
+        vflat = valid.reshape(-1)
+        n = lflat.shape[0]
+
+        def hist_of(l, p, v):
+            oh_l = ((l[:, None] == classes) & v[:, None]).astype(jnp.bfloat16)
+            oh_p = (p[:, None] == classes).astype(jnp.bfloat16)
+            return jax.lax.dot_general(
+                oh_l, oh_p, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        if n <= chunk:
+            return hist_of(lflat, pflat, vflat).astype(jnp.int32)
+        nch = -(-n // chunk)
+        pad = nch * chunk - n
+        lflat = jnp.pad(lflat, (0, pad))
+        pflat = jnp.pad(pflat, (0, pad))
+        vflat = jnp.pad(vflat, (0, pad))        # padded pixels: valid=False
+
+        def body(acc, args):
+            return acc + hist_of(*args), None
+
+        hist, _ = jax.lax.scan(
+            body, jnp.zeros((num_classes, num_classes), jnp.float32),
+            (lflat.reshape(nch, chunk), pflat.reshape(nch, chunk),
+             vflat.reshape(nch, chunk)))
         return hist.astype(jnp.int32)
     idx = jnp.where(valid, labels * num_classes + preds, num_classes * num_classes)
     hist = jnp.bincount(idx.reshape(-1), length=num_classes * num_classes + 1)

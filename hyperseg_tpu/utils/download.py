@@ -33,6 +33,13 @@ def safe_extract_tar(tar_path: str, dest: str) -> None:
                 if not _is_within(dest, os.path.join(dest, m.name)):
                     raise RuntimeError(
                         f"unsafe tar member path: {m.name!r} in {tar_path}")
+                # name checks alone don't stop writing through a symlink
+                # member ('link' -> /elsewhere, then 'link/payload'); the
+                # datasets these archives carry contain no links, so reject
+                # them outright like the 'data' filter would
+                if m.issym() or m.islnk():
+                    raise RuntimeError(
+                        f"link member not allowed: {m.name!r} in {tar_path}")
             tar.extractall(path=dest)
 
 
@@ -40,12 +47,16 @@ def safe_extract_zip(zip_path, dest: str) -> None:
     """ZipFile.extractall with explicit member-path validation (zipfile
     already sanitizes most traversal forms, but fail loud, not quietly)."""
     from zipfile import ZipFile
-    src = ZipFile(zip_path) if isinstance(zip_path, (str, os.PathLike)) else zip_path
-    with src as z:
+    owned = isinstance(zip_path, (str, os.PathLike))
+    z = ZipFile(zip_path) if owned else zip_path
+    try:
         for name in z.namelist():
             if name.startswith("/") or ".." in name.split("/"):
                 raise RuntimeError(f"unsafe zip member path: {name!r}")
         z.extractall(dest)
+    finally:
+        if owned:  # never close a caller-supplied handle
+            z.close()
 
 
 def download_url(url: str, dest: str, *, timeout: float = 30.0,

@@ -171,6 +171,18 @@ class ProgressMeter:
         self.n += n
         if self._isatty:
             self._render()
+        else:
+            # tqdm still emits lines when piped; stay visible on long runs
+            # even if the caller never refreshes the description, but at a
+            # log-friendly cadence
+            now = time.time()
+            if now - self._last_render >= 30.0 or self.n >= self.total:
+                self._last_render = now
+                el = now - self._t0
+                rate = self.n / el if el > 0 else 0.0
+                print(f"{self.desc} | {self.n}/{self.total} "
+                      f"[{rate:.1f} {self.unit}/s]".lstrip(" |"),
+                      file=self.stream, flush=True)
 
     def _render(self, force: bool = False):
         now = time.time()

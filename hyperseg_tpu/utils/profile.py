@@ -253,17 +253,42 @@ def params_by_scope(params, max_depth=None):
     return out
 
 
+def assign_params_to_scopes(params, scopes):
+    """Assign each flat-param key to the LONGEST row scope whose dotted form
+    prefixes it (scopes are named_scope paths like 'backbone/_blocks.0';
+    param keys 'backbone._blocks.0._bn1.weight'). Keys matching no scope go
+    to the '' (top) row if present. No double counting: the per-row Params
+    column sums to the model total."""
+    pref = {s: s.replace("/", ".") for s in scopes}
+    counts = {s: 0 for s in scopes}
+    for k, v in params.items():
+        best = None
+        for s, d in pref.items():
+            if d and (k == d or k.startswith(d + ".")):
+                if best is None or len(d) > len(pref[best]):
+                    best = s
+        if best is None and "" in counts:
+            best = ""
+        if best is not None:
+            counts[best] += int(np.prod(v.shape))
+    return counts
+
+
 def print_scope_table(rows, params=None):
     """Reference print_summary format: Layer | Shape Mapping | Params | FLOPs
-    (profile.py:66-92), over flops_by_scope rows."""
+    (profile.py:66-92), over flops_by_scope rows. `params` is the flat param
+    dict; each key is counted on the deepest matching scope row."""
+    by_scope = (assign_params_to_scopes(params, [r[0] for r in rows])
+                if params else {})
     table = []
     for scope, fl, in_sh, out_sh in rows:
         shapes = (f"{list(in_sh) if in_sh else '?'} -> "
                   f"{list(out_sh) if out_sh else '?'}")
-        p = params.get(scope.replace("/", "."), 0) if params else 0
+        p = by_scope.get(scope, 0)
         table.append((scope or "(top)", shapes, f"{p:,}", f"{fl / 1e9:.3f}B"))
     total_fl = sum(fl for _s, fl, _i, _o in rows)
-    table.append(("TOTAL", "", f"{sum(params.values()):,}" if params else "",
+    total_p = sum(int(np.prod(v.shape)) for v in params.values()) if params else 0
+    table.append(("TOTAL", "", f"{total_p:,}" if params else "",
                   f"{total_fl / 1e9:.3f}B"))
     titles = ("Scope", "Shape Mapping", "Params", "FLOPs")
     widths = [max(len(str(r[i])) for r in table + [titles])
@@ -333,7 +358,7 @@ def cli():
         x = jnp.zeros((a.batch, *a.res, 3), jnp.float32)
         rows = flops_by_scope(lambda p_, x_: model(p_, x_), params, x,
                               max_depth=a.max_depth, warn_unknown=True)
-        print_scope_table(rows, params_by_scope(params, max_depth=a.max_depth))
+        print_scope_table(rows, params)
         return
     rows, total = model_profile(model, tuple(a.res))
     params = model.init(jax.random.PRNGKey(0))

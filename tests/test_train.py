@@ -104,6 +104,11 @@ def test_confusion_matrix_matmul_matches_bincount():
                            method="bincount")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert a.dtype == b.dtype == jnp.int32
+    # chunked scan path (pixel count not a multiple of chunk, padded tail
+    # must contribute nothing)
+    c = M.confusion_matrix(jnp.asarray(labels), jnp.asarray(preds), 19,
+                           method="matmul", chunk=1000)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(b))
 
 
 def test_confusion_matrix_matches_running_score(reference):

@@ -136,12 +136,23 @@ def test_generic_scope_profiler():
     pbs = P.params_by_scope(params, max_depth=1)
     assert sum(pbs.values()) == P.count_params(params)[0]
 
-    # table printing doesn't crash and includes the total
+    # per-row Params: longest-prefix scope assignment, no double counting
+    counts = P.assign_params_to_scopes(params, [r[0] for r in rows])
+    assert sum(counts.values()) == P.count_params(params)[0]
+    blk0 = counts.get("backbone/_blocks.0", 0)
+    assert blk0 == sum(int(np.prod(v.shape)) for k, v in params.items()
+                       if k.startswith("backbone._blocks.0."))
+    assert blk0 > 0
+
+    # table printing doesn't crash, includes the total, and the block row
+    # shows its real param count (regression: the old scope->key translation
+    # never matched, printing Params=0 everywhere)
     import io, contextlib
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        P.print_scope_table(rows, P.params_by_scope(params, max_depth=2))
-    assert "TOTAL" in buf.getvalue()
+        P.print_scope_table(rows, params)
+    out = buf.getvalue()
+    assert "TOTAL" in out and f"{blk0:,}" in out
 
 
 def test_progress_meter_and_scalar_tags(tmp_path, capsys):

@@ -13,14 +13,14 @@
 # then the full sweep + canary to refresh BENCHMARKS.md claims.
 #
 # Usage: bash tools/measure_pending.sh [logfile]   (default /tmp/measure_r3.log)
-set -u
+set -u -o pipefail
 cd "$(dirname "$0")/.."
 LOG=${1:-/tmp/measure_r3.log}
 : > "$LOG"
 run() {
   echo "=== $* ===" | tee -a "$LOG"
   timeout 1200 env -u JAX_PLATFORMS -u XLA_FLAGS "$@" 2>&1 | tee -a "$LOG"
-  echo "--- exit $? ---" | tee -a "$LOG"
+  echo "--- exit ${PIPESTATUS[0]} ---" | tee -a "$LOG"
 }
 
 run python tools/bench_invres_train.py 8 16
