@@ -18,18 +18,7 @@ from jax import lax
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def timed(fn, x, iters=200):
-    @jax.jit
-    def loop(xx):
-        def body(i, acc):
-            xi = xx + i.astype(xx.dtype) * jnp.asarray(1e-6, xx.dtype)
-            return acc + fn(xi).astype(jnp.float32).sum()
-        return lax.fori_loop(0, iters, body, jnp.float32(0))
-
-    float(loop(x))
-    t0 = time.perf_counter()
-    float(loop(x))
-    return (time.perf_counter() - t0) / iters * 1e3
+from tools._bench import timed
 
 
 def main():

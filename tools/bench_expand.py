@@ -23,18 +23,11 @@ from jax import lax
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def timed(fn, *args, iters=400):
-    @jax.jit
-    def loop(*a):
-        def body(i, acc):
-            out = fn(a[0] + i.astype(a[0].dtype) * jnp.asarray(1e-6), *a[1:])
-            return acc + out.astype(jnp.float32).mean()
-        return lax.fori_loop(0, iters, body, jnp.float32(0))
+import functools
 
-    jax.block_until_ready(loop(*args))
-    t0 = time.perf_counter()
-    jax.block_until_ready(loop(*args))
-    return (time.perf_counter() - t0) / iters * 1e3
+from tools._bench import timed as _timed
+
+timed = functools.partial(_timed, iters=400)
 
 
 def e2e():

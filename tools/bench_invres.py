@@ -29,18 +29,7 @@ SHAPES = [
 ]
 
 
-def timed(fn, *args, iters=200):
-    @jax.jit
-    def loop(*a):
-        def body(i, acc):
-            x = a[0] + i.astype(a[0].dtype) * jnp.asarray(1e-6, a[0].dtype)
-            return acc + fn(x, *a[1:]).astype(jnp.float32).sum()
-        return lax.fori_loop(0, iters, body, jnp.float32(0))
-
-    float(loop(*args))
-    t0 = time.perf_counter()
-    float(loop(*args))
-    return (time.perf_counter() - t0) / iters * 1e3
+from tools._bench import timed
 
 
 def main():

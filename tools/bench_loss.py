@@ -19,22 +19,15 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 RES = (512, 1024)
 C = 19
-ITERS = 100
+# losses run in well under a ms; the ~40 ms per-call dispatch bias needs
+# thousands of iterations to stay negligible
+ITERS = 2000
 
+import functools
 
-def timed(fn, *args, iters=ITERS):
-    @jax.jit
-    def loop(a0, rest):
-        def body(i, acc):
-            ai = a0 + i.astype(a0.dtype) * jnp.asarray(1e-6, a0.dtype)
-            return acc + fn(ai, *rest).astype(jnp.float32)
-        return lax.fori_loop(0, iters, body, jnp.float32(0))
+from tools._bench import timed as _timed
 
-    out = loop(args[0], args[1:])
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    jax.block_until_ready(loop(args[0], args[1:]))
-    return (time.perf_counter() - t0) / iters * 1e3
+timed = functools.partial(_timed, iters=ITERS)
 
 
 def main():

@@ -21,17 +21,12 @@ C = 19
 ITERS = 200
 
 
-def timed(fn, a, b, iters=ITERS):
-    @jax.jit
-    def loop(a, b):
-        def body(i, acc):
-            return acc + fn((a + i) % C, b).sum().astype(jnp.float32)
-        return lax.fori_loop(0, iters, body, jnp.float32(0))
+import functools
 
-    jax.block_until_ready(loop(a, b))
-    t0 = time.perf_counter()
-    jax.block_until_ready(loop(a, b))
-    return (time.perf_counter() - t0) / iters * 1e3
+from tools._bench import timed as _timed
+
+timed = functools.partial(_timed, iters=ITERS,
+                          perturb=lambda a, i: (a + i) % C)
 
 
 def main():

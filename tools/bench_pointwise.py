@@ -35,18 +35,7 @@ SHAPES = [
 ]
 
 
-def timed(fn, x, w, iters=200):
-    @jax.jit
-    def loop(x, w):
-        def body(i, acc):
-            xi = x + i.astype(x.dtype) * jnp.asarray(1e-6, x.dtype)
-            return acc + fn(xi, w).astype(jnp.float32).sum()
-        return lax.fori_loop(0, iters, body, jnp.float32(0))
-
-    float(loop(x, w))
-    t0 = time.perf_counter()
-    float(loop(x, w))
-    return (time.perf_counter() - t0) / iters * 1e3
+from tools._bench import timed
 
 
 def main():

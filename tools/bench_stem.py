@@ -24,18 +24,11 @@ SHAPES = [("M_city", 512, 1024), ("S_camvid", 576, 768), ("L_voc", 512, 512)]
 ITERS = 200
 
 
-def timed(fn, x, iters=ITERS):
-    @jax.jit
-    def loop(x):
-        def body(i, acc):
-            xi = x + i.astype(x.dtype) * jnp.asarray(1e-6, x.dtype)
-            return acc + fn(xi).astype(jnp.float32).sum()
-        return lax.fori_loop(0, iters, body, jnp.float32(0))
+import functools
 
-    float(loop(x))
-    t0 = time.perf_counter()
-    float(loop(x))
-    return (time.perf_counter() - t0) / iters * 1e3
+from tools._bench import timed as _timed
+
+timed = functools.partial(_timed, iters=ITERS)
 
 
 def main():
