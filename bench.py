@@ -44,12 +44,35 @@ def device_loop_fps(model, params, batch, res=(512, 1024), iters=1000, dtype=jnp
     return batch * iters / dt
 
 
+def _init_backend_or_die(timeout_s=900):
+    """Force backend init under a watchdog: when the TPU tunnel is black-holed
+    the first device query blocks forever (even SIGTERM-proof for the caller's
+    pipe), which would hang the whole benchmark run. Fail loudly instead —
+    stderr message + nonzero exit, and NO metric line, so a dead tunnel is
+    recorded as a failed run rather than a fake number."""
+    import os
+    import threading
+
+    def die():
+        print(f"bench.py: TPU backend init exceeded {timeout_s}s — "
+              "tunnel down? no metric emitted", file=sys.stderr, flush=True)
+        os._exit(3)
+
+    t = threading.Timer(timeout_s, die)
+    t.daemon = True
+    t.start()
+    dev = jax.devices()
+    t.cancel()
+    return dev
+
+
 def main():
     from hyperseg_tpu.models import hyperseg_v1_0 as V1
     from __graft_entry__ import HYPERSEG_M_KW
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    _init_backend_or_die()
 
     model = V1.hyperseg_efficientnet("efficientnet-b1", **HYPERSEG_M_KW)
     params = model.init(jax.random.PRNGKey(0))
