@@ -319,10 +319,9 @@ class EfficientNet:
     def _stem_kernel_ok(self, x, ctx):
         """True when the eval-mode fused Pallas stem applies (TPU backend,
         supported shape, the kernel's TF-SAME (0,1)x(0,1) pad convention)."""
-        import jax as _jax
         from hyperseg_tpu.ops import pallas as pallas_cfg
         if not (pallas_cfg.STEM_ENABLED and (ctx is None or not ctx.train)
-                and _jax.default_backend() == "tpu"):
+                and pallas_cfg.kernels_available()):
             return False
         from hyperseg_tpu.ops.pallas import stem as stem_k
         b, h, w, cin = x.shape
@@ -340,7 +339,25 @@ class EfficientNet:
                 params["_bn0.weight"], params["_bn0.bias"],
                 params["_bn0.running_mean"], params["_bn0.running_var"],
                 eps=BN_EPS, planar=planar)
+        if self._stem_train_kernel_ok(x, ctx) and not planar:
+            # training forward through the kernel (custom_vjp: XLA backward);
+            # BN runs in train mode outside it
+            from hyperseg_tpu.ops.pallas import stem as stem_k
+            conv = stem_k.stem_conv(x, params["_conv_stem.weight"])
+            return F.swish(self._bn(params, "_bn0", conv, ctx))
         return F.swish(self._bn(params, "_bn0", self._stem(params, x), ctx))
+
+    def _stem_train_kernel_ok(self, x, ctx):
+        """Training-mode variant of _stem_kernel_ok (STEM_TRAIN_ENABLED)."""
+        from hyperseg_tpu.ops import pallas as pallas_cfg
+        if not (pallas_cfg.STEM_TRAIN_ENABLED
+                and ctx is not None and ctx.train
+                and pallas_cfg.kernels_available()):
+            return False
+        from hyperseg_tpu.ops.pallas import stem as stem_k
+        b, h, w, cin = x.shape
+        return (stem_k.supported(h, w, cin)
+                and tuple(self.stem_pad) == ((0, 1), (0, 1)))
 
     def _fusable_prefix(self, h2, w2):
         """Leading blocks the fused planar MBConv chain absorbs

@@ -18,6 +18,10 @@ the numerical oracle."""
 ENABLED = False
 INVRES_MIN_BATCH = 2
 STEM_ENABLED = True
+# Route the TRAINING forward's stem conv through the kernel too (custom_vjp:
+# Pallas forward / XLA conv backward; BN-train + swish stay XLA). OFF until
+# measured on-chip (tools/bench_train.py A/Bs it via this flag).
+STEM_TRAIN_ENABLED = False
 
 # Fused planar MBConv prefix chain (ops/pallas/mbconv.py). MBCONV_ENABLED
 # gates the whole chain independently of the stem kernel so the two can be

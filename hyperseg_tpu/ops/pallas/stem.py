@@ -168,6 +168,42 @@ def _kernel(xm, xrh, xch, xcc, sel_ref, w_ref, b_ref, o_ref, *,
     o_ref[0] = y.astype(o_ref.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def stem_conv(x, weight, interpret=False):
+    """Differentiable stem conv (3x3/s2, TF-SAME ((0,1),(0,1))): the fused
+    kernel runs the FORWARD (identity BN, no activation — exactly the raw
+    conv), while the backward is XLA's conv VJP (well-shaped: the cotangent
+    has cout=32 channels, none of the 3-channel-layout pathology the forward
+    suffers). Lets the TRAINING path use the fast stem; BN-train + swish stay
+    outside in XLA. Caller must check `supported(H, W, cin)`."""
+    return _stem_conv_raw(x, weight, interpret)
+
+
+def _stem_conv_raw(x, weight, interpret):
+    cout = weight.shape[-1]
+    ones = jnp.ones(cout, jnp.float32)
+    zeros = jnp.zeros(cout, jnp.float32)
+    return stem_conv_bn_swish(x, weight, ones, zeros, zeros, ones,
+                              eps=0.0, act=None, interpret=interpret)
+
+
+def _stem_conv_fwd(x, weight, interpret):
+    return _stem_conv_raw(x, weight, interpret), (x, weight)
+
+
+def _stem_conv_bwd(interpret, res, g):
+    from hyperseg_tpu.nn import functional as F
+    x, weight = res
+    # primal output unused -> XLA dead-code-eliminates the inner forward
+    _, vjp = jax.vjp(
+        lambda xx, ww: F.conv2d(xx, ww, stride=(2, 2),
+                                padding=((0, 1), (0, 1))), x, weight)
+    return vjp(g)
+
+
+stem_conv.defvjp(_stem_conv_fwd, _stem_conv_bwd)
+
+
 def stem_conv_bn_swish(x, weight, bn_scale, bn_bias, bn_mean, bn_var, *,
                        eps=1e-3, act="swish", band_rows=32, planar=False,
                        gather=None, interpret=False):

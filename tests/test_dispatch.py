@@ -53,6 +53,7 @@ def test_fusable_prefix_respects_flags(monkeypatch):
 def test_shipped_flag_defaults():
     """The shipped flag set IS the measured-fastest configuration."""
     assert pallas_cfg.STEM_ENABLED is True
+    assert pallas_cfg.STEM_TRAIN_ENABLED is False  # pending on-chip A/B
     assert pallas_cfg.MBCONV_ENABLED is True
     assert pallas_cfg.MBCONV_EXPAND_ENABLED is False
     assert pallas_cfg.ENABLED is False  # patch_invres forced-on: batch-1 loses

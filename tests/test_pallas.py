@@ -96,6 +96,23 @@ def test_stem_kernel_parity(shape):
     np.testing.assert_allclose(np.asarray(got_p),
                                np.moveaxis(np.asarray(got), -1, 1), atol=1e-6)
 
+    # differentiable stem_conv (training dispatch): value AND grads must
+    # match the XLA conv it replaces
+    def loss_k(xx, ww):
+        return jnp.sum(S.stem_conv(xx, ww, True) ** 2)
+
+    def loss_x(xx, ww):
+        return jnp.sum(F.conv2d(xx, ww, stride=(2, 2),
+                                padding=((0, 1), (0, 1))) ** 2)
+
+    (vk, (gxk, gwk)) = jax.value_and_grad(loss_k, argnums=(0, 1))(x, wt)
+    (vx, (gxx, gwx)) = jax.value_and_grad(loss_x, argnums=(0, 1))(x, wt)
+    np.testing.assert_allclose(float(vk), float(vx), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gxk), np.asarray(gxx),
+                               atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gwk), np.asarray(gwx),
+                               atol=1e-4, rtol=1e-5)
+
 
 def test_mbconv_fused_phases_parity():
     """Planar dw_phase + project_phase vs the NHWC XLA oracle (the _block

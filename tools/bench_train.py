@@ -73,10 +73,16 @@ def main():
     from hyperseg_tpu.train import step as T
     from hyperseg_tpu.nn import functional as F
 
-    print("| batch | remat | component | ms/step | img/s |")
-    print("|---|---|---|---|---|")
+    from hyperseg_tpu.ops import pallas as pallas_cfg
+
+    print("| batch | remat | stem | component | ms/step | img/s |")
+    print("|---|---|---|---|---|---|")
     for batch in batches:
-        for remat in (False, True, "dots"):
+        # (remat spec, STEM_TRAIN_ENABLED): the stem A/B runs at one remat
+        # point to keep the sweep linear
+        for remat, stem_train in ((False, False), (True, False),
+                                  ("dots", False), ("dots", True)):
+            pallas_cfg.STEM_TRAIN_ENABLED = stem_train
             model, criterion, optimizer, train_step, state, data = build(
                 remat, batch)
 
@@ -113,16 +119,17 @@ def main():
 
             rows = [("forward", fwd_only), ("fwd+loss", fwd_loss),
                     ("fwd+bwd", fwd_bwd), ("full step", full)]
+            tag = {False: "off", True: "full"}.get(remat, remat)
+            stag = "kernel" if stem_train else "xla"
             try:
-                tag = {False: "off", True: "full"}.get(remat, remat)
                 for name, fn in rows:
                     ms = timed_steps(fn, state, data)
-                    print(f"| {batch} | {tag} | {name} "
+                    print(f"| {batch} | {tag} | {stag} | {name} "
                           f"| {ms:.1f} | {batch / ms * 1e3:.1f} |", flush=True)
             except Exception as e:  # OOM at large batch without remat
-                tag = {False: "off", True: "full"}.get(remat, remat)
-                print(f"| {batch} | {tag} | FAILED "
+                print(f"| {batch} | {tag} | {stag} | FAILED "
                       f"({type(e).__name__}) | - | - |", flush=True)
+    pallas_cfg.STEM_TRAIN_ENABLED = False
 
 
 if __name__ == "__main__":
