@@ -39,6 +39,13 @@ from jax.experimental import pallas as pl
 # Default set by measurement (tools/bench_invres.py --rank4).
 RANK4_DOT = False
 
+# Write the output through a rank-6 (B, fh, ph, fw, pw, C) out_spec so the
+# kernel stores (ph, chunk, pw, C) directly — skipping the in-VMEM
+# (fw, pw) lane-merge reshape of the rank-5 form. The HBM bytes/layout are
+# identical (the final XLA reshape to (B, H, W, C) is free either way).
+# A/B lever (tools/bench_invres.py); default set by measurement.
+OUT6D = False
+
 
 def _fold_bn(scale, bias, mean, var, eps):
     inv = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
@@ -49,7 +56,7 @@ def _fold_bn(scale, bias, mean, var, eps):
 
 def _kernel(xm, xrt, xct, xcn, w1_ref, w2_ref, w3_ref, bn_ref, out_ref, *,
             ph, pw, fw, cin, hidden, out_ch, k, residual, act_max,
-            rank4=False):
+            rank4=False, out6d=False):
     """Grid cell = one (batch, patch-row, patch-chunk) band of `fw` patches:
     the band is assembled from the four overlapping full-map views, then the
     three stages run as fw-batched dot_generals (MXU) and row-wide depthwise
@@ -134,8 +141,12 @@ def _kernel(xm, xrt, xct, xcn, w1_ref, w2_ref, w3_ref, bn_ref, out_ref, *,
             ctr = xp[:, pad:pad + ph, pad:pad + pw, :]
             o = o + ctr.reshape(fw, ph * pw, cin).astype(jnp.float32)
         o = o.reshape(fw, ph, pw, out_ch).astype(out_ref.dtype)
-    # (fw, ph, pw, out) -> (ph, fw*pw, out)
-    out_ref[0, 0] = jnp.swapaxes(o, 0, 1).reshape(ph, fw * pw, out_ch)
+    if out6d:
+        # (fw, ph, pw, out) -> (ph, fw, pw, out): no lane-merge reshape
+        out_ref[0, 0] = jnp.swapaxes(o, 0, 1)
+    else:
+        # (fw, ph, pw, out) -> (ph, fw*pw, out)
+        out_ref[0, 0] = jnp.swapaxes(o, 0, 1).reshape(ph, fw * pw, out_ch)
 
 
 def supported(x_shape, w_shape, kernel):
@@ -152,7 +163,7 @@ def supported(x_shape, w_shape, kernel):
 def patch_inverted_residual_fused(x, w, *, hidden, out_ch, kernel=3,
                                   bn1, bn2, bn3, eps=1e-5, act_max=6.0,
                                   padding_mode="reflect", chunk=None,
-                                  rank4=None, interpret=False):
+                                  rank4=None, out6d=None, interpret=False):
     """x: (B, H, W, Cin); w: (B, fh, fw, P) flat per-patch weights with the
     reference layout (in*hidden | hidden*k*k | hidden*out). bn*: tuples of
     (scale, bias, mean, var). Returns (B, H, W, out_ch)."""
@@ -210,9 +221,11 @@ def patch_inverted_residual_fused(x, w, *, hidden, out_ch, kernel=3,
 
     if rank4 is None:
         rank4 = RANK4_DOT
+    if out6d is None:
+        out6d = OUT6D
     kern = functools.partial(
         _kernel, ph=ph, pw=pw, fw=chunk, cin=cin, hidden=hidden, out_ch=out_ch,
-        k=k, residual=residual, act_max=act_max, rank4=rank4)
+        k=k, residual=residual, act_max=act_max, rank4=rank4, out6d=out6d)
 
     out = pl.pallas_call(
         kern,
@@ -238,9 +251,14 @@ def patch_inverted_residual_fused(x, w, *, hidden, out_ch, kernel=3,
                          lambda bi, f, c: (bi, f, c, 0, 0)),
             pl.BlockSpec((6, maxc), lambda bi, f, c: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, ph, cw, out_ch),
-                               lambda bi, f, c: (bi, f, 0, c, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, fh, ph, wid, out_ch), x.dtype),
+        out_specs=(pl.BlockSpec((1, 1, ph, chunk, pw, out_ch),
+                                lambda bi, f, c: (bi, f, 0, c, 0, 0)) if out6d
+                   else pl.BlockSpec((1, 1, ph, cw, out_ch),
+                                     lambda bi, f, c: (bi, f, 0, c, 0))),
+        out_shape=(jax.ShapeDtypeStruct((b, fh, ph, fw, pw, out_ch), x.dtype)
+                   if out6d
+                   else jax.ShapeDtypeStruct((b, fh, ph, wid, out_ch),
+                                             x.dtype)),
         interpret=interpret,
     )(xpad, xpad, xpad, xpad, w1, w2, w3, bn_pack)
 

@@ -58,6 +58,11 @@ def test_invres_fused_matches_oracle(b, fh, fw, ph, pw, cin, hidden, out):
         bn1=bns[0], bn2=bns[1], bn3=bns[2], rank4=True, interpret=True)
     np.testing.assert_allclose(np.asarray(got4), np.asarray(got),
                                atol=1e-5, rtol=1e-5)
+    # rank-6 out_spec variant (no in-VMEM lane-merge): same bytes exactly
+    got6 = patch_inverted_residual_fused(
+        x, w, hidden=hidden, out_ch=out, kernel=3,
+        bn1=bns[0], bn2=bns[1], bn3=bns[2], out6d=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got6), np.asarray(got))
 
 
 @pytest.mark.parametrize("shape", [(64, 256), (128, 768), (64, 128)])

@@ -57,17 +57,19 @@ def main():
         # Pin each path explicitly: the default dispatch gates (batch-based
         # kernel dispatch, fullmap eval gate) would otherwise silently remap
         # which formulation "xla" means at batch >= 2.
-        def pin(kernel=False, fullmap=False, rank4=False):
+        def pin(kernel=False, fullmap=False, rank4=False, out6d=False):
             pallas_cfg.ENABLED = kernel
             pallas_cfg.INVRES_MIN_BATCH = 1 if kernel else 10 ** 9
             Pops.FULLMAP_INVRES = fullmap
             Pops.FULLMAP_INVRES_EVAL_MIN_BATCH = 1
             PI.RANK4_DOT = rank4
+            PI.OUT6D = out6d
 
         variants = [("gather", dict()),
                     ("fullmap", dict(fullmap=True)),
                     ("pallas", dict(kernel=True)),
-                    ("rank4", dict(kernel=True, rank4=True))]
+                    ("rank4", dict(kernel=True, rank4=True)),
+                    ("out6d", dict(kernel=True, out6d=True))]
         times, outs = {}, {}
         for vname, kw in variants:
             pin(**kw)
