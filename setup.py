@@ -20,6 +20,8 @@ setup(
             "hyperseg-test=hyperseg_tpu.cli.test:cli",
             "hyperseg-test-fps=hyperseg_tpu.cli.test_fps:cli",
             "hyperseg-convert=hyperseg_tpu.cli.convert:main",
+            "hyperseg-profile=hyperseg_tpu.utils.profile:cli",
+            "hyperseg-batch=hyperseg_tpu.utils.batch:cli",
         ],
     },
 )
