@@ -30,16 +30,20 @@ BASELINE_FPS = 36.9
 
 def device_loop_fps(model, params, batch, res=(512, 1024), iters=1000, dtype=jnp.bfloat16):
     @jax.jit
-    def loop(p, x):
+    def loop(p, x, offset):
         def body(i, acc):
-            xi = x + i.astype(x.dtype) * jnp.asarray(1e-6, x.dtype)
+            xi = x + (i + offset).astype(x.dtype) * jnp.asarray(1e-6, x.dtype)
             return acc + model(p, xi).sum().astype(jnp.float32)
         return lax.fori_loop(0, iters, body, jnp.float32(0))
 
+    # The offset makes every invocation's args unique: the tunneled platform
+    # coalesces/dedups repeated executions with identical (executable, args),
+    # which can return the warm call's cached scalar in ~0 time and fake an
+    # arbitrarily high throughput (observed round 3 on the loss/train benches).
     x = jnp.asarray(np.random.rand(batch, *res, 3), dtype)
-    float(loop(params, x))  # compile + warm
+    float(loop(params, x, jnp.int32(0)))  # compile + warm
     t0 = time.perf_counter()
-    float(loop(params, x))
+    float(loop(params, x, jnp.int32(iters)))
     dt = time.perf_counter() - t0
     return batch * iters / dt
 

@@ -3,23 +3,35 @@
 Methodology (bench.py docstring): run the op inside an on-device
 lax.fori_loop with the first argument perturbed per iteration (prevents
 loop-invariant hoisting), reduce to one f32 scalar (single readback),
-compile+warm once, then time the second invocation.
+compile+warm once, then time the next invocation.
 
-A fixed ~40 ms per-call dispatch cost rides every loop invocation on this
-tunneled platform, so keep iters * per-iter-time >= ~4 s — iters >= 200 for
-sub-20 ms ops, more for very fast ops, fewer only when each iteration is
-long (e.g. full train steps). Round-3 standing constraint; at iters=50 the
-bias inflates per-iter numbers by ~0.4 ms.
+EVERY invocation must be made unique (the `offset` scalar below): the
+tunneled platform DEDUPLICATES repeated executions with identical
+(executable, args) — the second call can return the first call's cached
+scalar in ~0 time with the correct value, which silently zeroes the
+measurement (observed round 3: a 72 ms/iter loss loop read 0.000 ms).
+Never time a call whose arguments exactly repeat an earlier call's.
+
+A fixed ~40 ms per-call dispatch cost rides every loop invocation, so keep
+iters * per-iter-time >= ~4 s — iters >= 200 for sub-20 ms ops, more for
+very fast ops, fewer only when each iteration is long (e.g. full train
+steps). BUT keep a single execute under ~60 s: a ~144 s fori_loop execute
+died with UNAVAILABLE (device watchdog). When the op cost is unknown, probe
+with small iters first (see timed_auto).
 
 Run benches serially: concurrent TPU processes corrupt each other's
-fori_loop timings (2x distortions observed round 2).
+fori_loop timings (2x distortions observed round 2; 1000x-fast reads
+observed round 3).
 """
 
+import itertools
 import time
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+_CALL_SEQ = itertools.count(1)
 
 
 def float_perturb(a, i):
@@ -32,15 +44,34 @@ def timed(fn, *args, iters=200, perturb=float_perturb):
 
     The first argument is perturbed each iteration via `perturb(a0, i)`
     (pass a custom one for integer inputs, e.g. lambda a, i: (a + i) % C).
+    Each invocation threads a fresh process-unique offset through the
+    perturbation so no two executions ever have identical args (defeats
+    the platform's execution dedup — see module docstring).
     """
     @jax.jit
-    def loop(a0, rest):
+    def loop(a0, rest, offset):
         def body(i, acc):
-            return acc + jnp.sum(fn(perturb(a0, i), *rest),
+            return acc + jnp.sum(fn(perturb(a0, i + offset), *rest),
                                  dtype=jnp.float32)
         return lax.fori_loop(0, iters, body, jnp.float32(0))
 
-    jax.block_until_ready(loop(args[0], args[1:]))
+    # float(...) forces the scalar readback — the only reliable sync on this
+    # platform (block_until_ready can return before device completion here).
+    float(loop(args[0], args[1:], jnp.int32(next(_CALL_SEQ))))
     t0 = time.perf_counter()
-    jax.block_until_ready(loop(args[0], args[1:]))
+    float(loop(args[0], args[1:], jnp.int32(next(_CALL_SEQ))))
     return (time.perf_counter() - t0) / iters * 1e3
+
+
+def timed_auto(fn, *args, target_s=4.0, max_exec_s=50.0, perturb=float_perturb):
+    """Like timed, but sizes iters automatically: a small probe loop first,
+    then one measurement loop aiming for ~target_s total while keeping a
+    single execute under max_exec_s (device watchdog kills ~2 min executes).
+    """
+    probe_iters = 8
+    ms = timed(fn, *args, iters=probe_iters, perturb=perturb)
+    # probe already spent ~40 ms dispatch + 8 iters; pick the real iter count
+    per_iter_s = max(ms / 1e3, 1e-6)
+    iters = int(min(target_s / per_iter_s, max_exec_s / per_iter_s))
+    iters = max(probe_iters, min(iters, 100_000))
+    return timed(fn, *args, iters=iters, perturb=perturb)

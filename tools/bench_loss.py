@@ -19,15 +19,10 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 RES = (512, 1024)
 C = 19
-# losses run in well under a ms; the ~40 ms per-call dispatch bias needs
-# thousands of iterations to stay negligible
-ITERS = 2000
-
-import functools
-
-from tools._bench import timed as _timed
-
-timed = functools.partial(_timed, iters=ITERS)
+# the sort formulation measured ~72 ms/iter at batch 8 (round 3, fixed
+# harness) — a fixed iter count either starves fast methods of resolution or
+# rams slow ones into the ~60 s execute watchdog; size adaptively.
+from tools._bench import timed_auto as timed
 
 
 def main():

@@ -28,21 +28,24 @@ ITERS = 50
 def timed_steps(step_fn, state, batch, iters=ITERS):
     """ms per call of state-carrying step_fn(state, batch, i) -> state, scalar."""
     @jax.jit
-    def loop(state, batch):
+    def loop(state, batch, offset):
         def body(i, carry):
             st, acc = carry
             b = {"image": batch["image"]
-                 + i.astype(batch["image"].dtype) * jnp.asarray(1e-6),
+                 + (i + offset).astype(batch["image"].dtype) * jnp.asarray(1e-6),
                  "label": batch["label"]}
-            st, s = step_fn(st, b, i)
+            st, s = step_fn(st, b, i + offset)
             return st, acc + s
         return lax.fori_loop(0, iters, body, (state, jnp.float32(0)))
 
-    out = loop(state, batch)
-    jax.block_until_ready(out)
+    # offset keeps every invocation's args unique (the tunneled platform
+    # dedups identical repeated executions — tools/_bench.py docstring) and
+    # float(acc) forces the readback (block_until_ready can return early).
+    out = loop(state, batch, jnp.int32(0))
+    float(out[1])
     t0 = time.perf_counter()
-    out = loop(state, batch)
-    jax.block_until_ready(out)
+    out = loop(state, batch, jnp.int32(iters))
+    float(out[1])
     return (time.perf_counter() - t0) / iters * 1e3
 
 
