@@ -40,10 +40,14 @@ def device_loop_fps(model, params, batch, res=(512, 1024), iters=1000, dtype=jnp
     # coalesces/dedups repeated executions with identical (executable, args),
     # which can return the warm call's cached scalar in ~0 time and fake an
     # arbitrarily high throughput (observed round 3 on the loss/train benches).
+    # Process-unique offsets (stride iters): fixed 0/iters would repeat the
+    # exact (executable, args) pairs of an earlier same-process call and
+    # re-trigger the platform dedup.
+    from tools._bench import _CALL_SEQ
     x = jnp.asarray(np.random.rand(batch, *res, 3), dtype)
-    float(loop(params, x, jnp.int32(0)))  # compile + warm
+    float(loop(params, x, jnp.int32(next(_CALL_SEQ) * iters)))  # compile+warm
     t0 = time.perf_counter()
-    float(loop(params, x, jnp.int32(iters)))
+    float(loop(params, x, jnp.int32(next(_CALL_SEQ) * iters)))
     dt = time.perf_counter() - t0
     return batch * iters / dt
 

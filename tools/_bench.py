@@ -63,15 +63,26 @@ def timed(fn, *args, iters=200, perturb=float_perturb):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def timed_auto(fn, *args, target_s=4.0, max_exec_s=50.0, perturb=float_perturb):
-    """Like timed, but sizes iters automatically: a small probe loop first,
-    then one measurement loop aiming for ~target_s total while keeping a
-    single execute under max_exec_s (device watchdog kills ~2 min executes).
+DISPATCH_S = 0.040  # fixed per-invocation dispatch cost on this platform
+
+
+def timed_auto(fn, *args, target_s=4.0, perturb=float_perturb):
+    """Like timed, but sizes iters automatically.
+
+    Probes with ONE iteration first so an op of unknown cost can never run
+    a probe past the ~60 s device watchdog; escalates to an 8-iter probe
+    only when the 1-iter reading is dispatch-dominated (i.e. the op is
+    cheap, so the bigger probe is also cheap). The dispatch cost is
+    subtracted from the probe reading before sizing the measurement loop —
+    otherwise a 0.05 ms/iter op reads the 40 ms dispatch amortized over the
+    probe as its own cost and the final loop runs ~10x short of target_s.
     """
-    probe_iters = 8
-    ms = timed(fn, *args, iters=probe_iters, perturb=perturb)
-    # probe already spent ~40 ms dispatch + 8 iters; pick the real iter count
-    per_iter_s = max(ms / 1e3, 1e-6)
-    iters = int(min(target_s / per_iter_s, max_exec_s / per_iter_s))
-    iters = max(probe_iters, min(iters, 100_000))
+    ms1 = timed(fn, *args, iters=1, perturb=perturb)
+    if ms1 / 1e3 > 10 * DISPATCH_S:
+        per_iter_s = ms1 / 1e3 - DISPATCH_S
+    else:
+        probe_iters = 8
+        ms = timed(fn, *args, iters=probe_iters, perturb=perturb)
+        per_iter_s = max(ms / 1e3 - DISPATCH_S / probe_iters, 1e-6)
+    iters = max(8, min(int(target_s / per_iter_s), 100_000))
     return timed(fn, *args, iters=iters, perturb=perturb)

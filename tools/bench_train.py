@@ -41,10 +41,13 @@ def timed_steps(step_fn, state, batch, iters=ITERS):
     # offset keeps every invocation's args unique (the tunneled platform
     # dedups identical repeated executions — tools/_bench.py docstring) and
     # float(acc) forces the readback (block_until_ready can return early).
-    out = loop(state, batch, jnp.int32(0))
+    # The process-unique _CALL_SEQ (stride iters) guarantees two timed_steps
+    # calls with identical executables never repeat an (args, offset) pair.
+    from tools._bench import _CALL_SEQ
+    out = loop(state, batch, jnp.int32(next(_CALL_SEQ) * iters))
     float(out[1])
     t0 = time.perf_counter()
-    out = loop(state, batch, jnp.int32(iters))
+    out = loop(state, batch, jnp.int32(next(_CALL_SEQ) * iters))
     float(out[1])
     return (time.perf_counter() - t0) / iters * 1e3
 
