@@ -43,7 +43,8 @@ def main(exp_dir, *, model=None, arch=None, test_dataset=None,
          img_transforms=None, tensor_transforms=DEFAULT_TENSOR_TRANSFORMS,
          batch_size=4, workers=4, forced=False, compute_dtype="float32",
          display_worst=0, display_best=0, display_alpha=0.5,
-         display_background_index=0, display_sources=None, out_dir=None):
+         display_background_index=0, display_sources=None, out_dir=None,
+         devices=None):
     assert os.path.isdir(exp_dir), f'exp_dir "{exp_dir}" must be a directory'
     if model is None:
         for cand in ("model_best.npz", "model_best.pth"):
@@ -58,16 +59,29 @@ def main(exp_dir, *, model=None, arch=None, test_dataset=None,
     os.makedirs(cache_dir, exist_ok=True)
     scores_path = os.path.join(cache_dir, "scores.npz")
 
-    # dataset
+    # dataset. pad_last fills the trailing partial batch with ignore-labeled
+    # copies: static batch shapes for the jit and mesh divisibility, while
+    # the confusion matrix stays exact (padded labels are all 255)
     tf = Compose(_build_list(img_transforms) + _build_list(tensor_transforms))
     test_ds = registry.build(test_dataset, transforms=tf)
-    loader = DataLoader(test_ds, batch_size=batch_size, workers=workers)
+    loader = DataLoader(test_ds, batch_size=batch_size, workers=workers,
+                        pad_last=True)
     num_classes = len(test_ds.classes)
 
     # model from checkpoint arch
     model_obj, params, meta = C.load_model(model_path, arch=arch,
                                            num_classes=num_classes)
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
+    # local-mesh data parallelism: params replicated, batch sharded on 'data'
+    # (the reference's DataParallel eval, test.py:136-137; the confmat
+    # reduction XLA inserts over ICI replaces the dormant
+    # reduce_from_all_processes all_reduce, seg_utils.py:38-44)
+    from hyperseg_tpu.parallel import (data_sharded, make_mesh_for_batch,
+                                       replicate_params)
+    mesh = make_mesh_for_batch(batch_size, devices=devices)
+    params = replicate_params(mesh, params)
+    batch_sharding = data_sharded(mesh)
     eval_step = jax.jit(make_eval_step(model_obj, num_classes=num_classes,
                                        compute_dtype=dtype))
 
@@ -91,17 +105,25 @@ def main(exp_dir, *, model=None, arch=None, test_dataset=None,
         pbar = ProgressMeter(len(loader), unit="batches")
         for i, batch in enumerate(loader):
             if isinstance(batch["image"], (list, tuple)):
-                b = {"image": [jnp.asarray(p) for p in batch["image"]],
-                     "label": jnp.asarray(batch["label"], jnp.int32)}
+                b = {"image": [jax.device_put(jnp.asarray(p), batch_sharding)
+                               for p in batch["image"]],
+                     "label": jax.device_put(
+                         jnp.asarray(batch["label"], jnp.int32),
+                         batch_sharding)}
                 out = eval_step_pyramid(params, b)
             else:
-                b = {"image": jnp.asarray(batch["image"]),
-                     "label": jnp.asarray(batch["label"], jnp.int32)}
+                b = {"image": jax.device_put(jnp.asarray(batch["image"]),
+                                             batch_sharding),
+                     "label": jax.device_put(
+                         jnp.asarray(batch["label"], jnp.int32),
+                         batch_sharding)}
                 out = eval_step(params, b)
             confmat = confmat + out["confmat"]
             preds = np.asarray(out["preds"])
             labels = np.asarray(batch["label"])
             for j in range(labels.shape[0]):
+                if len(ious) >= len(test_ds):
+                    break  # pad_last filler images carry no jaccard entry
                 ious.append(M.per_image_jaccard(
                     labels[j], preds[j], num_classes,
                     ignore_index=display_background_index))

@@ -49,6 +49,28 @@ def remove_bn(params):
     return out
 
 
+def _device_loop_fps(model_obj, params, x, dtype, iters=200):
+    """img/s via an on-device lax.fori_loop (input perturbed per iteration,
+    one scalar readback) — the only valid timing instrument on the tunneled
+    platform where block_until_ready can return before device completion."""
+    from jax import lax
+
+    @jax.jit
+    def loop(p, x, offset):
+        def body(i, acc):
+            xi = x + (i + offset).astype(x.dtype) * jnp.asarray(1e-6, x.dtype)
+            return acc + model_obj(p, xi).sum().astype(jnp.float32)
+        return lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    x = x.astype(dtype)
+    # unique offsets: the platform dedups repeated identical executions
+    float(loop(params, x, jnp.int32(1)))  # compile + warm
+    t0 = time.perf_counter()
+    float(loop(params, x, jnp.int32(1 + iters)))
+    dt = time.perf_counter() - t0
+    return x.shape[0] * iters / dt
+
+
 def main(exp_dir, **kwargs):
     """Wrapper that scopes F.BN_IDENTITY for the remove_bn protocol — the
     flag is trace-time global state, so it must be restored even on error."""
@@ -64,30 +86,14 @@ def main(exp_dir, **kwargs):
 def _main_impl(exp_dir, *, model=None, arch=None, test_dataset=None,
                img_transforms=None, tensor_transforms=DEFAULT_TENSOR_TRANSFORMS,
                batch_size=1, workers=4, iterations=None, res=(512, 1024),
-               num_classes=19, compute_dtype="bfloat16", with_remove_bn=False):
+               num_classes=19, compute_dtype="bfloat16", with_remove_bn=False,
+               devices=None):
     os.makedirs(exp_dir, exist_ok=True)
 
-    # model: from checkpoint if present, else bare arch (test_fps.py:139-144)
-    if model is not None:
-        model_path = model if os.path.isfile(model) else os.path.join(exp_dir, model)
-        model_obj, params, _ = C.load_model(model_path, arch=arch,
-                                            num_classes=num_classes)
-    else:
-        assert arch is not None, "need --model or --arch"
-        spec = registry.parse_spec(arch).with_overrides(num_classes=num_classes)
-        model_obj = spec.build()
-        params = model_obj.init(jax.random.PRNGKey(0))
-    if with_remove_bn:
-        params = remove_bn(params)
-
-    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-    params = jax.tree.map(
-        lambda a: a.astype(dtype) if a.dtype == jnp.float32 and a.ndim >= 2 else a,
-        params)
-    eval_step = jax.jit(make_eval_step(model_obj, num_classes=num_classes,
-                                       compute_dtype=dtype))
-
-    # data: real loader or synthetic batches
+    # data FIRST: the dataset's class count overrides the CLI default, and
+    # the model/eval_step must be built with the final num_classes (the
+    # reference resolves the dataset before the model too, test_fps.py:102-144)
+    ds = None
     if test_dataset is not None:
         tf = Compose([registry.build(t) if isinstance(t, str)
                       else t.build() if isinstance(t, registry.Spec) else t
@@ -112,6 +118,34 @@ def _main_impl(exp_dir, *, model=None, arch=None, test_dataset=None,
                        "label": rng.randint(0, num_classes,
                                             (batch_size, *res)).astype(np.int32)}
 
+    # model: from checkpoint if present, else bare arch (test_fps.py:139-144)
+    if model is not None:
+        model_path = model if os.path.isfile(model) else os.path.join(exp_dir, model)
+        model_obj, params, _ = C.load_model(model_path, arch=arch,
+                                            num_classes=num_classes)
+    else:
+        assert arch is not None, "need --model or --arch"
+        spec = registry.parse_spec(arch).with_overrides(num_classes=num_classes)
+        model_obj = spec.build()
+        params = model_obj.init(jax.random.PRNGKey(0))
+    if with_remove_bn:
+        params = remove_bn(params)
+
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    params = jax.tree.map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 and a.ndim >= 2 else a,
+        params)
+
+    # local-mesh data parallelism: params replicated, batch sharded on 'data'
+    # (the reference's DataParallel at test_fps.py:155-156)
+    from hyperseg_tpu.parallel import (data_sharded, make_mesh_for_batch,
+                                       replicate_params)
+    mesh = make_mesh_for_batch(batch_size, devices=devices)
+    params = replicate_params(mesh, params)
+    batch_sharding = data_sharded(mesh)
+    eval_step = jax.jit(make_eval_step(model_obj, num_classes=num_classes,
+                                       compute_dtype=dtype))
+
     @jax.jit
     def eval_step_pyramid(params, batch):
         from hyperseg_tpu.nn import functional as F
@@ -124,7 +158,7 @@ def _main_impl(exp_dir, *, model=None, arch=None, test_dataset=None,
                 "preds": preds}
 
     confmat = jnp.zeros((num_classes, num_classes), jnp.int32)
-    total_time, total_imgs, n_batches = 0.0, 0, 0
+    total_time, total_imgs, n_batches, last_batch = 0.0, 0, 0, None
     for p in range(2):  # pass 0 = warmup, pass 1 = measured (test_fps.py:163)
         for batch in batches():
             if isinstance(batch["image"], (list, tuple)):
@@ -141,8 +175,10 @@ def _main_impl(exp_dir, *, model=None, arch=None, test_dataset=None,
                     confmat = confmat + out["confmat"]
                 continue
             t0 = time.perf_counter()
-            b = {"image": jnp.asarray(batch["image"], dtype),
-                 "label": jnp.asarray(batch["label"], jnp.int32)}
+            b = {"image": jax.device_put(jnp.asarray(batch["image"], dtype),
+                                         batch_sharding),
+                 "label": jax.device_put(jnp.asarray(batch["label"], jnp.int32),
+                                         batch_sharding)}
             out = eval_step(params, b)
             jax.block_until_ready(out["confmat"])
             dt = time.perf_counter() - t0
@@ -151,7 +187,14 @@ def _main_impl(exp_dir, *, model=None, arch=None, test_dataset=None,
                 total_imgs += b["image"].shape[0]
                 n_batches += 1
                 confmat = confmat + out["confmat"]
+                last_batch = b
     fps = total_imgs / total_time
+    if jax.default_backend() == "axon" and last_batch is not None:
+        # On the tunneled platform block_until_ready can return before device
+        # completion, so the wall-clock loop above is invalid there (bench.py
+        # docstring); re-measure with the on-device fori_loop harness on the
+        # last real batch. Real hosts keep the reference's wall-clock timing.
+        fps = _device_loop_fps(model_obj, params, last_batch["image"], dtype)
     _, _, class_iou = M.eval_scores_from_confmat(np.asarray(confmat))
     print(f"fps={fps:.2f} img/s over {n_batches} batches "
           f"(batch={batch_size}, dtype={compute_dtype})")

@@ -49,7 +49,7 @@ def test_train_eval_fps_roundtrip(tmp_path):
         workers=2, optimizer={"lr": 1e-3}, log_every=1)
     assert os.path.isfile(exp_dir / "model_latest.npz")
     assert os.path.isfile(exp_dir / "model_best.npz")
-    assert os.path.isfile(exp_dir / "model_latest.opt")  # optimizer state
+    assert os.path.isfile(exp_dir / "model_latest.opt.npz")  # optimizer state
     assert 0.0 <= best <= 1.0
 
     # resume should pick up at epoch 2 and do nothing more
@@ -72,11 +72,16 @@ def test_train_eval_fps_roundtrip(tmp_path):
     miou2 = test_cli.main(str(exp_dir), test_dataset=val_spec, batch_size=2)
     assert miou2 == pytest.approx(miou)
 
+    # num_classes intentionally left at its 19-class default: the dataset's
+    # 12 classes must override it BEFORE the eval step is jitted (regression:
+    # round 3 jitted with the CLI default, then reassigned num_classes)
     fps = fps_cli.main(str(exp_dir), model="model_best.npz",
                        test_dataset=val_spec, batch_size=2,
-                       compute_dtype="float32", num_classes=12)
+                       compute_dtype="float32")
     assert fps > 0
     assert os.path.isfile(exp_dir / "test_fps" / "scores.npz")
+    with np.load(exp_dir / "test_fps" / "scores.npz") as z:
+        assert z["class_iou"].shape == (12,)
 
     # pyramid TTA eval path (pyramid transform -> forward_pyramid); the up
     # pyramid keeps every scale divisible by the stride-32 patch grid
