@@ -136,13 +136,9 @@ def main(exp_dir, *, model, train_dataset, val_dataset=None,
         best_iou = float(meta.get("best_iou", 0.0))
         state["step"] = jnp.asarray(
             int(meta.get("step", start_epoch * steps_per_epoch)), jnp.int32)
-        opt_path = ckpt_path[:-4] + ".opt"
+        opt_path = ckpt_path[:-4] + ".opt.npz"
         if os.path.isfile(opt_path):
-            import pickle
-            with open(opt_path, "rb") as f:
-                loaded_opt = pickle.load(f)
-            state["opt_state"] = jax.tree.map(
-                lambda ref, v: jnp.asarray(v), state["opt_state"], loaded_opt)
+            state["opt_state"] = C.load_opt_state(opt_path, state["opt_state"])
 
     def process_epoch(loader, train: bool, epoch: int):
         nonlocal state

@@ -37,15 +37,44 @@ def save_checkpoint(exp_dir: str, name: str, params: Dict, *, meta: Optional[dic
     with open(base + ".json", "w") as f:
         json.dump(meta or {}, f, indent=1, default=str)
     if opt_state is not None:
-        import pickle
-        with open(base + ".opt", "wb") as f:
-            pickle.dump(jnp_to_np(opt_state), f)
+        save_opt_state(base + ".opt.npz", opt_state)
     if is_best:
         best = os.path.join(exp_dir, f"{name}_best")
         shutil.copyfile(base + ".npz", best + ".npz")
         shutil.copyfile(base + ".json", best + ".json")
         if opt_state is not None:
-            shutil.copyfile(base + ".opt", best + ".opt")
+            shutil.copyfile(base + ".opt.npz", best + ".opt.npz")
+
+
+def save_opt_state(path: str, opt_state) -> None:
+    """Write an optimizer-state pytree (optax namedtuple nest) as a flat .npz
+    keyed by jax keystr paths — same container as the params, no pickle."""
+    import jax
+    leaves, _ = jax.tree_util.tree_flatten_with_path(opt_state)
+    np.savez(path, **{jax.tree_util.keystr(kp): np.asarray(v)
+                      for kp, v in leaves})
+
+
+def load_opt_state(path: str, ref_opt_state):
+    """Restore an opt-state .npz into the structure of `ref_opt_state` (a
+    freshly initialized state from the same optimizer): leaves are matched by
+    keystr path and checked for shape; returns the rebuilt pytree."""
+    import jax
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(ref_opt_state)
+    with np.load(path) as z:
+        stored = {k: z[k] for k in z.files}
+    new_leaves = []
+    for kp, ref in leaves:
+        key = jax.tree_util.keystr(kp)
+        if key not in stored:
+            raise KeyError(f"opt-state checkpoint {path} is missing {key} "
+                           "(optimizer definition changed since saving?)")
+        a = stored[key]
+        if tuple(a.shape) != tuple(np.shape(ref)):
+            raise ValueError(f"opt-state leaf {key}: checkpoint shape "
+                             f"{a.shape} != expected {np.shape(ref)}")
+        new_leaves.append(jnp.asarray(a, dtype=np.asarray(ref).dtype))
+    return treedef.unflatten(new_leaves)
 
 
 def jnp_to_np(tree):

@@ -96,3 +96,29 @@ def test_export_state_dict_roundtrip(reference):
     # and torch accepts it
     tm.load_state_dict({k: torch.from_numpy(np.array(v)) for k, v in back.items()},
                        strict=False)
+
+
+def test_opt_state_npz_roundtrip(tmp_path):
+    """Optimizer moments survive save/load through the npz tree format (no
+    pickle): resume reproduces the exact post-step Adam state."""
+    from hyperseg_tpu.train import schedule as S, step as T
+
+    optimizer = T.make_optimizer(S.poly_lr(1e-3, 100))
+    params = {"a.weight": jnp.ones((4, 3)), "b.bias": jnp.arange(3.0)}
+    state = T.init_train_state(params, optimizer)
+    # advance the state so mu/nu/count are nontrivial
+    import optax
+    grads = {k: jnp.full_like(v, 0.5) for k, v in params.items()}
+    updates, opt_state = optimizer.update(grads, state["opt_state"], params)
+    path = str(tmp_path / "model_latest.opt.npz")
+    C.save_opt_state(path, opt_state)
+
+    fresh = T.init_train_state(params, optimizer)["opt_state"]
+    restored = C.load_opt_state(path, fresh)
+    for got, want in zip(jax.tree.leaves(restored), jax.tree.leaves(opt_state)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # structure mismatch fails loudly instead of silently mis-mapping
+    other = T.init_train_state({"c.weight": jnp.ones((2, 2))}, optimizer)
+    with pytest.raises((KeyError, ValueError)):
+        C.load_opt_state(path, other["opt_state"])
