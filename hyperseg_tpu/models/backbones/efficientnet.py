@@ -321,6 +321,7 @@ class EfficientNet:
         supported shape, the kernel's TF-SAME (0,1)x(0,1) pad convention)."""
         from hyperseg_tpu.ops import pallas as pallas_cfg
         if not (pallas_cfg.STEM_ENABLED and (ctx is None or not ctx.train)
+                and x.shape[0] <= pallas_cfg.STEM_MAX_BATCH
                 and pallas_cfg.kernels_available()):
             return False
         from hyperseg_tpu.ops.pallas import stem as stem_k

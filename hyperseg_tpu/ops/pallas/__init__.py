@@ -18,6 +18,11 @@ the numerical oracle."""
 ENABLED = False
 INVRES_MIN_BATCH = 2
 STEM_ENABLED = True
+# The stem kernel wins ONLY at batch 1 (v5e, ms: b1 M 0.37 vs XLA 0.74, S
+# 0.55 vs 0.65, L 0.24 vs 0.48; b2 S 0.87 vs 0.50, L 0.35 vs 0.33; b4+ XLA
+# wins everywhere, b8 S 3.17 vs 1.74): its per-row one-hot selection matmul
+# scales linearly with batch while XLA's conv amortizes. Batch-gated here.
+STEM_MAX_BATCH = 1
 # Route the TRAINING forward's stem conv through the kernel too (custom_vjp:
 # Pallas forward / XLA conv backward; BN-train + swish stay XLA). OFF until
 # measured on-chip (tools/bench_train.py A/Bs it via this flag).

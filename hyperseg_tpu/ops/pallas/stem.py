@@ -54,8 +54,10 @@ SEL_BYTES_CAP = 6 * 1024 * 1024
 # the one-hot selection matmul. The selection matmul is the kernel's dominant
 # cost (~10x the conv's own FLOPs: K=2cin*cw+128 contracted against
 # N=2cin*(cw+8) one-hot columns per row); the gather is the same permutation
-# with no MACs at all. A/B lever (tools/bench_stem.py) — default set by
-# measurement once the chip is reachable; interpret-mode parity either way.
+# with no MACs at all. A/B lever (tools/bench_stem.py) — pinned OFF: the
+# Mosaic compile of the gather variant consistently fails on the shipping
+# toolchain (remote_compile HTTP 500 at every benchmark shape, 2026-08-18);
+# interpret-mode parity still covers the code path.
 SEL_GATHER = False
 
 

@@ -27,7 +27,10 @@ from hyperseg_tpu.nn import functional as F
 
 # Route eligible per-patch 1x1 convs through fullmap_pointwise (below)
 # instead of block_patches + patch_pointwise + unblock_patches. A/B lever —
-# default set by measurement on the chip (tools/bench_pointwise.py).
+# ON by measurement (tools/bench_pointwise.py, v5e): at b8 fullmap >= blocked
+# everywhere (Lvoc_expand_l4 2.42 vs 4.05 ms, 1.67x; others 1.00-1.07x); at
+# b1 it is within noise except Lvoc_expand (1.54x win) but FULLMAP_MIN_BATCH
+# keeps b1 on the measured blocked sweep configuration.
 FULLMAP_POINTWISE = True
 
 # Batch gate for PatchConvUnit's full-map eval forms (pointwise + depthwise):
@@ -42,12 +45,14 @@ FULLMAP_MIN_BATCH = 2
 # Route eligible InvResUnits (stride 1, odd kernel, dividing patch grid)
 # through the full-map formulation — expand on the un-halo'd map + halo band
 # einsums + interleaved blocked depthwise — instead of the 6D gather path.
-# Dispatched in training and at eval batch >= 2 when the Pallas kernel
-# doesn't take the call. A/B lever (tools/bench_invres_train.py); default ON
-# a priori: the gather path's 6D halo tensor tiles ~5x padded in HBM at
-# batch >= 2 (BENCHMARKS.md batch-scaling study) and the band einsums avoid
-# it entirely. Re-measure on-chip when the tunnel is live.
-FULLMAP_INVRES = True
+# A/B lever (tools/bench_invres_train.py). Default OFF by measurement (v5e,
+# fwd+bwd ms): b8 M_l3 gather 11.8 vs fullmap 13.5 (0.87x), M_l4 41.8 vs
+# 51.8 (0.81x); b16 0.84x/0.80x — XLA fuses the gather path's 6D tensor out
+# of the backward better than the band-einsum chain. Eval-side the fullmap
+# form also loses to gather at every measured batch (tools/bench_invres.py:
+# b1 M_l4 0.770 vs 0.718, b8 10.83 vs 9.47), and the Pallas kernel owns
+# batch >= 2 on TPU anyway.
+FULLMAP_INVRES = False
 # Eval-mode batch gate: at batch 1 XLA fuses the gather path nearly for free
 # (BENCHMARKS.md batch-scaling study), so the fullmap form only dispatches at
 # batch >= this. Set to 1 to A/B the fullmap form at batch 1.

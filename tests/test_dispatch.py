@@ -53,6 +53,9 @@ def test_fusable_prefix_respects_flags(monkeypatch):
 def test_shipped_flag_defaults():
     """The shipped flag set IS the measured-fastest configuration."""
     assert pallas_cfg.STEM_ENABLED is True
+    # stem kernel wins only at batch 1 (b2+: the one-hot selection matmul
+    # scales with batch while XLA's conv amortizes; b8 S_camvid 3.17 vs 1.74)
+    assert pallas_cfg.STEM_MAX_BATCH == 1
     assert pallas_cfg.STEM_TRAIN_ENABLED is False  # pending on-chip A/B
     assert pallas_cfg.MBCONV_ENABLED is True
     assert pallas_cfg.MBCONV_EXPAND_ENABLED is False
@@ -61,6 +64,24 @@ def test_shipped_flag_defaults():
     # XLA materializes the 6D halo tensor + 9 tap products there)
     assert pallas_cfg.INVRES_MIN_BATCH == 2
     assert pallas_cfg.RESIZE_ENABLED is False  # XLA ~0.09 vs kernel ~0.11 ms
+
+    from hyperseg_tpu.ops import patch as P
+    from hyperseg_tpu.ops.pallas import patch_invres as PI
+    from hyperseg_tpu.ops.pallas import stem as SK
+    import inspect
+    from hyperseg_tpu.train import losses as L
+    # measured on-chip 2026-08-18 (tools/measure_pending.sh, BENCHMARKS.md):
+    assert P.FULLMAP_INVRES is False      # train fwd+bwd 0.80-0.87x vs gather
+    assert P.FULLMAP_POINTWISE is True    # b8 >= 1.0x everywhere, 1.67x Lvoc
+    assert P.FULLMAP_MIN_BATCH == 2       # b1 keeps the measured blocked form
+    assert PI.RANK4_DOT is False          # loses + intermittent Mosaic 500s
+    assert PI.OUT6D is False              # ties l4, loses 25% at l3
+    assert SK.SEL_GATHER is False         # Mosaic compile fails (2026-08-18)
+    # loss top-k: select beats sort (b8 67.1 vs 72.8, b16 135.2 vs 146.2 ms)
+    sig = inspect.signature(L.bootstrapped_cross_entropy)
+    assert sig.parameters["method"].default == "select"
+    assert inspect.signature(L.BootstrappedCrossEntropyLoss).parameters[
+        "method"].default == "select"
 
 
 def test_invres_batch_dispatch_policy(monkeypatch):
