@@ -302,6 +302,21 @@ def apply_unit(params, u, x, w, ctx, *, remat=False):
     return y
 
 
+def s2w_dense_matrix(params, route: S2W):
+    """The signal2weights kernel as ONE dense (signal_ch, out_ch) matrix:
+    the conv kernel itself for groups == 1, its block-diagonal expansion for
+    groups > 1 (off-block entries are exact zeros, so the dense matmul is
+    numerically identical to the grouped conv)."""
+    k = params[f"{route.prefix}.weight"]
+    g = route.groups
+    if g == 1:
+        return k[0, 0]
+    opg = route.out_ch // g
+    blocks = [k[0, 0, :, gi * opg:(gi + 1) * opg] for gi in range(g)]
+    return jax.scipy.linalg.block_diag(
+        *[b.astype(jnp.float32) for b in blocks])
+
+
 def apply_signal2weights(params, s, route: S2W):
     """Generate a unit's weight map from the signal: grouped 1x1 conv on the
     routed channel slice, clipped to hyper_params (hyperseg_v1_0.py:321-326).
@@ -312,18 +327,63 @@ def apply_signal2weights(params, s, route: S2W):
     matmul — numerically identical (off-block entries are exact zeros)."""
     sl = s[..., route.signal_index:route.signal_index + route.signal_ch]
     k = params[f"{route.prefix}.weight"]
-    g = route.groups
-    if g == 1:
+    if route.groups == 1:
         w = F.conv2d(sl, k)
     else:
-        cpg = route.signal_ch // g
-        opg = route.out_ch // g
-        blocks = [k[0, 0, :, gi * opg:(gi + 1) * opg] for gi in range(g)]
-        dense = jax.scipy.linalg.block_diag(*[b.astype(jnp.float32) for b in blocks])
+        dense = s2w_dense_matrix(params, route)
         b_, h_, w_, c_ = sl.shape
         w = (sl.reshape(-1, c_) @ dense.astype(sl.dtype)).reshape(
             b_, h_, w_, route.out_ch)
     return w[..., :route.hyper_params]
+
+
+def _s2w_fused_ok(u, x, s, ctx):
+    """Dispatch gate for the fully fused signal2weights + inverted-residual
+    kernel: eval mode, TPU backend, the plain kernel's batch gate and shape
+    gate, and the dense matrices small enough to sit resident in VMEM."""
+    from hyperseg_tpu.ops import pallas as pallas_cfg
+    from hyperseg_tpu.ops.pallas import patch_invres as PI
+    if not (PI.S2W_FUSED and isinstance(u, InvResUnit) and u.stride == 1
+            and u.s2w is not None):
+        return False
+    if ctx is not None and ctx.train:
+        return False
+    if not pallas_cfg.kernels_available():
+        return False
+    if not (pallas_cfg.ENABLED or x.shape[0] >= pallas_cfg.INVRES_MIN_BATCH):
+        return False
+    rt = u.s2w
+    s_shape = (s.shape[0], s.shape[1], s.shape[2], rt.signal_ch)
+    import numpy as np
+    return PI.s2w_supported(x.shape, s_shape, u.hyper_params, u.hidden,
+                            u.out_ch, u.kernel,
+                            itemsize=np.dtype(x.dtype).itemsize)
+
+
+def apply_unit_from_signal(params, u, x, s_cont, ctx, *, remat=False):
+    """Generate-and-apply for one hyper unit given its level-container signal
+    slice. When eligible (eval, TPU, batch >= INVRES_MIN_BATCH), dispatches
+    the fully fused kernel that generates w1/w2/w3 in VMEM from the routed
+    signal — the (B, fh, fw, P) generated-weight tensor never reaches HBM
+    (hyperseg_v1_0.py:321-326 generation feeding :328-370 consumption).
+    Otherwise generates the weight map and applies the unit as before."""
+    if u.s2w is None:
+        return apply_unit(params, u, x, s_cont, ctx, remat=remat)
+    if _s2w_fused_ok(u, x, s_cont, ctx):
+        from hyperseg_tpu.ops.pallas.patch_invres import (
+            patch_inverted_residual_s2w_fused)
+        rt = u.s2w
+        sl = s_cont[..., rt.signal_index:rt.signal_index + rt.signal_ch]
+        dense = s2w_dense_matrix(params, rt)
+        pfx = u.prefix
+        bn = lambda n: tuple(params[f"{pfx}.{n}.{f}"] for f in
+                             ("weight", "bias", "running_mean", "running_var"))
+        return patch_inverted_residual_s2w_fused(
+            x, sl, dense, hidden=u.hidden, out_ch=u.out_ch, kernel=u.kernel,
+            bn1=bn("bn1"), bn2=bn("bn2"), bn3=bn("bn3"), eps=BN_EPS,
+            padding_mode=u.padding_mode)
+    w = apply_signal2weights(params, s_cont, u.s2w)
+    return apply_unit(params, u, x, w, ctx, remat=remat)
 
 
 def init_unit_params(params, rng, units: Sequence[Unit]):
@@ -490,9 +550,9 @@ class MultiScaleDecoderV1:
             for u in units:
                 hi = min(base + u.hyper_params, s.shape[-1])
                 lo = min(base, hi)
-                w = apply_signal2weights(params, s[..., lo:hi] if (lo, hi) != (0, s.shape[-1]) else s, u.s2w) \
-                    if u.s2w is not None else s[..., lo:hi]
-                p = apply_unit(params, u, p, w, ctx, remat=self.remat)
+                s_cont = s[..., lo:hi] if (lo, hi) != (0, s.shape[-1]) else s
+                p = apply_unit_from_signal(params, u, p, s_cont, ctx,
+                                           remat=self.remat)
                 base += u.hyper_params
 
         with jax.named_scope("out_fc"):

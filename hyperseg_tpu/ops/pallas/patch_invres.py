@@ -36,15 +36,44 @@ from jax.experimental import pallas as pl
 # Stage-1/3 matmuls as rank-4 batched dots over the unmerged (fw, kh, kw, c)
 # windows instead of merged (fw, kh*kw, c) operands — skips four in-VMEM
 # sublane relayouts per cell if Mosaic lowers the extra leading dim as a loop.
-# Default set by measurement (tools/bench_invres.py --rank4).
+# OFF by measurement (tools/bench_invres.py, v5e): loses at every shape that
+# compiles (b8 M_l3 1.84 vs 1.76 ms; b1 M_l3 0.34 vs 0.30) and the Mosaic
+# compile intermittently 500s at level-4 shapes.
 RANK4_DOT = False
 
 # Write the output through a rank-6 (B, fh, ph, fw, pw, C) out_spec so the
 # kernel stores (ph, chunk, pw, C) directly — skipping the in-VMEM
 # (fw, pw) lane-merge reshape of the rank-5 form. The HBM bytes/layout are
 # identical (the final XLA reshape to (B, H, W, C) is free either way).
-# A/B lever (tools/bench_invres.py); default set by measurement.
+# A/B lever (tools/bench_invres.py). OFF by measurement (v5e): ties the
+# rank-5 store at level 4 (b8 M_l4 5.644 vs 5.647 ms) but loses 25% at
+# level 3 (b8 M_l3 2.20 vs 1.76 ms) — the narrow pw lane store fragments.
 OUT6D = False
+
+# Generate the per-patch weights INSIDE the kernel from the routed signal
+# slice and the (VMEM-resident) signal2weights matrix — one small matmul per
+# grid cell — instead of reading the pre-generated (B, fh, fw, ~5k) weight
+# tensor from HBM. Eliminates the generated-weight HBM round-trip
+# (hyperseg_v1_0.py:321-326 generation feeding :328-370 consumption) AND the
+# XLA-side w1/w2/w3 relayout transposes. A/B lever; default by measurement.
+S2W_FUSED = False
+
+
+def _lane_pad(n, lane=128):
+    """Round n up to a whole number of 128-lane tiles (Mosaic only lowers
+    in-VMEM lane-split reshapes whose minor size is tile-aligned)."""
+    return ((n + lane - 1) // lane) * lane
+
+
+def _pick_s2w_chunk(fw, kh, kw, cin, hidden, budget):
+    """Largest patch-chunk for the fused-s2w kernel: must divide fw, be a
+    multiple of 8 (the signal block's sublane dim) or fw itself, and keep the
+    per-cell working set under budget. None when no chunk qualifies."""
+    cands = [fw] + [c for c in range(8 * (fw // 8), 0, -8) if fw % c == 0]
+    for c in cands:
+        if c * kh * kw * max(cin, hidden) * 4 <= budget:
+            return c
+    return None
 
 
 def _fold_bn(scale, bias, mean, var, eps):
@@ -147,6 +176,218 @@ def _kernel(xm, xrt, xct, xcn, w1_ref, w2_ref, w3_ref, bn_ref, out_ref, *,
     else:
         # (fw, ph, pw, out) -> (ph, fw*pw, out)
         out_ref[0, 0] = jnp.swapaxes(o, 0, 1).reshape(ph, fw * pw, out_ch)
+
+
+def _kernel_s2w(xm, xrt, xct, xcn, s_ref, d1_ref, d2_ref, d3_ref, bn_ref,
+                out_ref, *, ph, pw, fw, cin, hidden, out_ch, k, residual,
+                act_max, out6d=False):
+    """Like _kernel, but the per-patch weights are GENERATED in VMEM from the
+    routed signal slice: gen = s_cell @ dN (one small matmul per stage; the
+    depthwise taps generate per-tap to avoid strided lane extracts). The
+    (B, fh, fw, P) weight tensor never exists — HBM sees only x, s (tiny),
+    and the signal2weights matrices (VMEM-resident, constant index map).
+    Matches hyperseg_v1_0.py:321-326 (generation) feeding :328-370."""
+    pad = k // 2
+    kh = ph + 2 * pad
+    kw = pw + 2 * pad
+    s1 = bn_ref[0, :hidden]
+    b1 = bn_ref[1, :hidden]
+    s2 = bn_ref[2, :hidden]
+    b2 = bn_ref[3, :hidden]
+    s3 = bn_ref[4, :out_ch]
+    b3 = bn_ref[5, :out_ch]
+
+    # halo band assembly — identical to _kernel
+    right = jnp.concatenate([xct[0], xcn[0][:2 * pad]], axis=0)
+    band = jnp.concatenate(
+        [jnp.concatenate([xm[0], xrt[0][:2 * pad]], axis=0),
+         right[:, :2 * pad]], axis=1)
+    cwid = fw * pw
+    main = band[:, :cwid].reshape(kh, fw, pw, cin)
+    halo = jnp.pad(band[:, pw:], ((0, 0), (0, pw - 2 * pad), (0, 0)))
+    halo = halo[:, :cwid].reshape(kh, fw, pw, cin)[:, :, :2 * pad]
+    xp = jnp.transpose(jnp.concatenate([main, halo], axis=2), (1, 0, 2, 3))
+
+    s_cell = s_ref[0, 0].astype(jnp.bfloat16)               # (fw, sig)
+    hp = _lane_pad(hidden)  # generation lane width (Mosaic in-VMEM reshapes
+    # that split the lane dim only lower when the minor size is a whole
+    # number of 128-lane tiles — measured 2026-08-18: hidden=128 compiles,
+    # 32/42/68 all fail remote_compile)
+
+    # stage 1: generate w1 = s @ d1 -> (fw, cin*hp) -> (fw, cin, hp)[:hidden]
+    g1 = lax.dot_general(s_cell, d1_ref[...].astype(jnp.bfloat16),
+                         dimension_numbers=(((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+    w1 = g1.reshape(fw, cin, hp)[:, :, :hidden].astype(jnp.bfloat16)
+    h = lax.dot_general(
+        xp.reshape(fw, kh * kw, cin).astype(jnp.bfloat16), w1,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                 # (fw, kh*kw, hid)
+    h = jnp.clip(h * s1 + b1, 0.0, act_max)
+    h = h.reshape(fw, kh, kw, hidden).astype(jnp.bfloat16)
+
+    # stage 2: k*k depthwise taps, each tap's weights generated on the spot:
+    # tap(t) = s @ d2[t] -> (fw, hidden); no strided extract from a flat gen
+    acc = jnp.zeros((fw, ph, pw, hidden), jnp.float32)
+    for di in range(k):
+        for dj in range(k):
+            tap = lax.dot_general(
+                s_cell, d2_ref[di * k + dj].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (fw, hidden)
+            acc = acc + (h[:, di:di + ph, dj:dj + pw, :].astype(jnp.float32)
+                         * tap[:, None, None, :])
+    d = jnp.clip(acc * s2 + b2, 0.0, act_max).astype(jnp.bfloat16)
+
+    # stage 3: generate TRANSPOSED, w3t = s @ d3t -> (fw, out*hp) ->
+    # (fw, out, hp)[:hidden]; the dot then contracts hidden on the lane dim
+    # of both operands (A @ B^T, the MXU-native form) — transposed generation
+    # pads out*hp instead of hidden*out_pad, the cheaper padding since
+    # out <= hidden at every decoder level
+    g3 = lax.dot_general(s_cell, d3_ref[...].astype(jnp.bfloat16),
+                         dimension_numbers=(((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+    w3t = g3.reshape(fw, out_ch, hp)[:, :, :hidden].astype(jnp.bfloat16)
+    o = lax.dot_general(
+        d.reshape(fw, ph * pw, hidden), w3t,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # (fw, ph*pw, out)
+    o = o * s3 + b3
+    if residual:
+        ctr = xp[:, pad:pad + ph, pad:pad + pw, :]
+        o = o + ctr.reshape(fw, ph * pw, cin).astype(jnp.float32)
+    o = o.reshape(fw, ph, pw, out_ch).astype(out_ref.dtype)
+    if out6d:
+        out_ref[0, 0] = jnp.swapaxes(o, 0, 1)
+    else:
+        out_ref[0, 0] = jnp.swapaxes(o, 0, 1).reshape(ph, fw * pw, out_ch)
+
+
+def patch_inverted_residual_s2w_fused(x, s, dense, *, hidden, out_ch, kernel=3,
+                                      bn1, bn2, bn3, eps=1e-5, act_max=6.0,
+                                      padding_mode="reflect", chunk=None,
+                                      out6d=None, interpret=False):
+    """Fully fused form: x (B, H, W, Cin); s (B, fh, fw, sig) — the unit's
+    ROUTED signal slice; dense (sig, >=P) — the signal2weights matrix in its
+    dense (block-diagonal for groups > 1) form, columns [:P] live. Generated
+    filters never round-trip HBM (BASELINE north star). Returns
+    (B, H, W, out_ch); bit-comparable to patch_inverted_residual_fused(x,
+    apply_signal2weights(...)) up to matmul association."""
+    b, hgt, wid, cin = x.shape
+    _, fh, fw, sig = s.shape
+    ph, pw = hgt // fh, wid // fw
+    k = kernel
+    pad = k // 2
+    residual = (cin == out_ch)
+    assert ph % 8 == 0 and pw % 8 == 0 and 2 * pad <= 8
+
+    r1 = cin * hidden
+    r2 = r1 + hidden * k * k
+    P = r2 + hidden * out_ch
+    dense = dense[:, :P]
+    hp = _lane_pad(hidden)
+    # per-stage matrix layouts chosen so the kernel's post-matmul reshapes
+    # only SPLIT the lane dim into whole 128-lane tiles — Mosaic rejects
+    # lane splits with unaligned minors (reference flat layout is
+    # stage-major, hidden-major within stage, hyperseg_v1_0.py:301-309):
+    #   d1:  (sig, cin*hp)   -> gen reshapes to (fw, cin, hp)[..., :hidden]
+    #   d2:  (k*k, sig, hid) -> per-tap generation, no reshape
+    #   d3t: (sig, out*hp)   -> gen reshapes to (fw, out, hp)[..., :hidden]
+    #                           (transposed: the stage-3 dot contracts hidden
+    #                           on the lane dim of both operands)
+    pad_h = ((0, 0), (0, 0), (0, hp - hidden))
+    d1 = dense[:, :r1].reshape(sig, hidden, cin)
+    d1 = jnp.pad(jnp.swapaxes(d1, 1, 2), pad_h).reshape(sig, cin * hp)
+    d2 = dense[:, r1:r2].reshape(sig, hidden, k * k)
+    d2 = jnp.moveaxis(d2, 2, 0)                              # (k*k, sig, hid)
+    d3 = dense[:, r2:].reshape(sig, out_ch, hidden)
+    d3 = jnp.pad(d3, pad_h).reshape(sig, out_ch * hp)
+
+    s1, b1 = _fold_bn(*bn1, eps)
+    s2, b2 = _fold_bn(*bn2, eps)
+    s3, b3 = _fold_bn(*bn3, eps)
+    maxc = max(hidden, out_ch)
+
+    def padv(v):
+        return jnp.pad(v, (0, maxc - v.shape[0]))
+
+    bn_pack = jnp.stack([padv(s1), padv(b1), padv(s2), padv(b2),
+                         padv(s3), padv(b3)])
+
+    from hyperseg_tpu.nn import functional as F
+    xpad = F.pad2d(x, ((pad, pad), (pad, pad)), mode=padding_mode)
+    xpad = jnp.pad(xpad, ((0, 0), (0, 8 - 2 * pad), (0, 8 - 2 * pad), (0, 0)))
+
+    kh, kw = ph + 2 * pad, pw + 2 * pad
+    itemsize = np.dtype(x.dtype).itemsize
+    # the resident dN matrices are live for the whole kernel — subtract them
+    # in full from the per-cell working budget
+    dense_bytes = (d1.size + d2.size + d3.size) * itemsize
+    budget = (2_500_000 if itemsize <= 2 else 1_500_000) - dense_bytes
+    if interpret:
+        budget = float("inf")  # no VMEM on the interpreter
+    if chunk is None:
+        chunk = _pick_s2w_chunk(fw, kh, kw, cin, hidden, budget)
+    assert chunk is not None and fw % chunk == 0
+    nchunks = fw // chunk
+    cw = chunk * pw
+
+    if out6d is None:
+        out6d = OUT6D
+    kern = functools.partial(
+        _kernel_s2w, ph=ph, pw=pw, fw=chunk, cin=cin, hidden=hidden,
+        out_ch=out_ch, k=k, residual=residual, act_max=act_max, out6d=out6d)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(b, fh, nchunks),
+        in_specs=[
+            pl.BlockSpec((1, ph, cw, cin), lambda bi, f, c: (bi, f, c, 0)),
+            pl.BlockSpec((1, 8, cw, cin),
+                         lambda bi, f, c: (bi, (f + 1) * ph // 8, c, 0)),
+            pl.BlockSpec((1, ph, 8, cin),
+                         lambda bi, f, c: (bi, f, (c + 1) * cw // 8, 0)),
+            pl.BlockSpec((1, 8, 8, cin),
+                         lambda bi, f, c: (bi, (f + 1) * ph // 8,
+                                           (c + 1) * cw // 8, 0)),
+            pl.BlockSpec((1, 1, chunk, sig), lambda bi, f, c: (bi, f, c, 0)),
+            pl.BlockSpec((sig, cin * hp), lambda bi, f, c: (0, 0)),
+            pl.BlockSpec((k * k, sig, hidden), lambda bi, f, c: (0, 0, 0)),
+            pl.BlockSpec((sig, out_ch * hp), lambda bi, f, c: (0, 0)),
+            pl.BlockSpec((6, maxc), lambda bi, f, c: (0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((1, 1, ph, chunk, pw, out_ch),
+                                lambda bi, f, c: (bi, f, 0, c, 0, 0)) if out6d
+                   else pl.BlockSpec((1, 1, ph, cw, out_ch),
+                                     lambda bi, f, c: (bi, f, 0, c, 0))),
+        out_shape=(jax.ShapeDtypeStruct((b, fh, ph, fw, pw, out_ch), x.dtype)
+                   if out6d
+                   else jax.ShapeDtypeStruct((b, fh, ph, wid, out_ch),
+                                             x.dtype)),
+        interpret=interpret,
+    )(xpad, xpad, xpad, xpad, s.astype(x.dtype), d1.astype(x.dtype),
+      d2.astype(x.dtype), d3.astype(x.dtype), bn_pack)
+
+    return out.reshape(b, hgt, wid, out_ch)
+
+
+def s2w_supported(x_shape, s_shape, hyper_params, hidden, out_ch, kernel,
+                  itemsize=2):
+    """Feasibility gate for the fully fused s2w form: the plain kernel's
+    shape gate, plus an 8-aligned (or full-width) patch chunk must exist
+    once the VMEM-resident dense matrices are paid for."""
+    b, hgt, wid, cin = x_shape
+    _, fh, fw, sig = s_shape
+    if not supported(x_shape, (b, fh, fw, hyper_params), kernel):
+        return False
+    ph, pw = hgt // fh, wid // fw
+    pad = kernel // 2
+    kh, kw = ph + 2 * pad, pw + 2 * pad
+    hp = _lane_pad(hidden)
+    dense_bytes = (sig * cin * hp + kernel * kernel * sig * hidden
+                   + sig * out_ch * hp) * itemsize
+    budget = (2_500_000 if itemsize <= 2 else 1_500_000) - dense_bytes
+    return _pick_s2w_chunk(fw, kh, kw, cin, hidden, budget) is not None
 
 
 def supported(x_shape, w_shape, kernel):

@@ -159,3 +159,59 @@ def test_patchconv_fullmap_batch_gate(monkeypatch):
     assert run(pw, 2) and run(dw, 2)                        # batch 2: fullmap
     train = F.Ctx(train=True)
     assert run(pw, 1, train) and run(dw, 1, train)          # training: always
+
+
+def test_s2w_fused_dispatch_and_parity(monkeypatch):
+    """With S2W_FUSED on (and a TPU-backend stub), the decoder's V1 level
+    loop dispatches the fully fused s2w+invres kernel at batch >= 2 — and the
+    result matches the generate-then-apply path (interpret mode)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from hyperseg_tpu.models import decoder as D
+    from hyperseg_tpu.ops.pallas import patch_invres as PI
+
+    unit = D.InvResUnit(prefix="u", in_ch=6, out_ch=5, hidden=12, kernel=3)
+    unit.s2w = D.S2W(prefix="u.signal2weights", signal_ch=32, signal_index=0,
+                     groups=2, out_ch=D.next_multiply(unit.hyper_params, 2),
+                     hyper_params=unit.hyper_params)
+    rng = np.random.RandomState(0)
+    params = {"u.signal2weights.weight": jnp.asarray(
+        rng.randn(1, 1, 16, unit.s2w.out_ch) * 0.05, jnp.float32)}
+    for i, ch in [(1, 12), (2, 12), (3, 5)]:
+        params[f"u.bn{i}.weight"] = jnp.ones(ch) * 0.9
+        params[f"u.bn{i}.bias"] = jnp.zeros(ch) + 0.05
+        params[f"u.bn{i}.running_mean"] = jnp.zeros(ch)
+        params[f"u.bn{i}.running_var"] = jnp.ones(ch)
+
+    x = jnp.asarray(rng.rand(2, 16, 16, 6), jnp.float32)
+    s = jnp.asarray(rng.randn(2, 2, 2, 32) * 0.3, jnp.float32)
+    want = D.apply_unit_from_signal(params, unit, x, s, None)  # flag off
+
+    calls = []
+    real = PI.patch_inverted_residual_s2w_fused
+
+    def spy(*a, **k):
+        calls.append(1)
+        k.pop("interpret", None)
+        return real(*a, **k, interpret=True)
+
+    monkeypatch.setattr(PI, "patch_inverted_residual_s2w_fused", spy)
+    monkeypatch.setattr(PI, "S2W_FUSED", True)
+    monkeypatch.setattr(pallas_cfg, "kernels_available", lambda: True)
+    # keep the non-fused fallback off the (non-interpret) plain kernel
+    monkeypatch.setattr(pallas_cfg, "INVRES_MIN_BATCH", 2)
+
+    got = D.apply_unit_from_signal(params, unit, x, s, None)
+    assert calls, "fused kernel did not dispatch at batch 2"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=0.02, rtol=0.05)
+
+    # batch 1 stays on the measured XLA path; training never fuses
+    calls.clear()
+    D.apply_unit_from_signal(params, unit, x[:1], s[:1], None)
+    assert not calls
+    from hyperseg_tpu.nn import functional as F
+    import jax
+    D.apply_unit_from_signal(params, unit, x, s,
+                             F.Ctx(train=True, rng=jax.random.PRNGKey(0)))
+    assert not calls

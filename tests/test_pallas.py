@@ -65,6 +65,49 @@ def test_invres_fused_matches_oracle(b, fh, fw, ph, pw, cin, hidden, out):
     np.testing.assert_array_equal(np.asarray(got6), np.asarray(got))
 
 
+@pytest.mark.parametrize("b,fh,fw,ph,pw,cin,hidden,out,sig,padded", [
+    (2, 4, 4, 8, 8, 24, 48, 16, 96, 0),
+    (1, 2, 3, 16, 16, 34, 68, 19, 128, 7),  # dense wider than P (group pad)
+    (1, 2, 2, 8, 8, 16, 32, 16, 64, 0),     # residual path (cin == out)
+])
+def test_invres_s2w_fused_matches_oracle(b, fh, fw, ph, pw, cin, hidden, out,
+                                         sig, padded):
+    """The fully fused form (weights GENERATED in VMEM from the routed signal
+    slice) vs generate-then-consume: w = s @ dense[:, :P] followed by the
+    plain fused kernel. The generated (B, fh, fw, P) tensor never exists on
+    the fused path (hyperseg_v1_0.py:321-326 feeding :328-370)."""
+    from hyperseg_tpu.ops.pallas.patch_invres import (
+        patch_inverted_residual_s2w_fused)
+
+    rng = np.random.RandomState(1)
+    H, W = fh * ph, fw * pw
+    x = jnp.asarray(rng.randn(b, H, W, cin), jnp.float32)
+    P_total = cin * hidden + hidden * 9 + hidden * out
+    s = jnp.asarray(rng.randn(b, fh, fw, sig) * 0.3, jnp.float32)
+    dense = jnp.asarray(rng.randn(sig, P_total + padded) * 0.05, jnp.float32)
+    bns = []
+    for c in (hidden, hidden, out):
+        bns.append((jnp.asarray(rng.rand(c) + 0.5, jnp.float32),
+                    jnp.asarray(rng.randn(c) * 0.1, jnp.float32),
+                    jnp.asarray(rng.randn(c) * 0.1, jnp.float32),
+                    jnp.asarray(rng.rand(c) + 0.5, jnp.float32)))
+
+    w = jnp.einsum("bfgs,sp->bfgp", s, dense[:, :P_total])
+    want = patch_inverted_residual_fused(
+        x, w, hidden=hidden, out_ch=out, kernel=3,
+        bn1=bns[0], bn2=bns[1], bn3=bns[2], interpret=True)
+
+    got = patch_inverted_residual_s2w_fused(
+        x, s, dense, hidden=hidden, out_ch=out, kernel=3,
+        bn1=bns[0], bn2=bns[1], bn3=bns[2], interpret=True)
+    # both paths use bf16 matmul inputs / f32 accumulation; the only
+    # difference is where the generation matmul associates
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=0.05, rtol=0.05)
+    g, w_ = np.asarray(got).ravel(), np.asarray(want).ravel()
+    assert np.corrcoef(g, w_)[0, 1] > 0.999
+
+
 @pytest.mark.parametrize("shape", [(64, 256), (128, 768), (64, 128)])
 def test_stem_kernel_parity(shape):
     """Fused stem (conv3x3/s2 + BN + swish) vs the XLA oracle, interpret

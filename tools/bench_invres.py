@@ -26,6 +26,13 @@ SHAPES = [
     ("M_level4", (1, 256, 512), 16, 32, 34, 68, 19, 3),
     ("S_camvid_l3", (1, 144, 192), 18, 24, 24, 48, 16, 3),
     ("S_camvid_l4", (1, 288, 384), 18, 24, 34, 68, 12, 3),
+    # HyperSeg-L CamVid 1024x768 (6 levels; InvRes at 3/4/5; level 5 runs at
+    # input resolution with 32x32 patches — the shape where the XLA gather
+    # path is pathological even at batch 1: forcing the kernels lifted the
+    # whole config 108.6 -> 141.5 img/s, tools/bench_s2w.py round 4)
+    ("L_camvid_l3", (1, 192, 256), 24, 32, 24, 48, 16, 3),
+    ("L_camvid_l4", (1, 384, 512), 24, 32, 34, 68, 16, 3),
+    ("L_camvid_l5", (1, 768, 1024), 24, 32, 21, 42, 12, 3),
 ]
 
 
