@@ -61,10 +61,15 @@ def fps_of(model, params, res, batch=1, iters=400):
 def main():
     import sys
     from hyperseg_tpu.utils.profile import model_profile
-    batches = [int(a) for a in sys.argv[1:]] or [1, 8]
+    # numeric args are batch sizes; non-numeric args filter configs by
+    # substring (e.g. `python bench_all.py 1 l_camvid`)
+    batches = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 8]
+    only = [a for a in sys.argv[1:] if not a.isdigit()]
 
     rows = []
     for name, spec, res, base in CONFIGS:
+        if only and not any(o in name for o in only):
+            continue
         model = registry.parse_spec(spec).build()
         params = model.init(jax.random.PRNGKey(0))
         params = jax.tree.map(

@@ -43,7 +43,10 @@ def main():
     from hyperseg_tpu.ops import pallas as pallas_cfg
     dtype = jnp.bfloat16
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    only = sys.argv[2] if len(sys.argv) > 2 else ""  # substring shape filter
     for name, (b, hgt, wid), fh, fw, cin, hidden, out, k in SHAPES:
+        if only and only not in name:
+            continue
         b *= batch
         unit = InvResUnit(prefix="u", in_ch=cin, out_ch=out, hidden=hidden,
                           kernel=k)

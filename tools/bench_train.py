@@ -85,9 +85,12 @@ def main():
     print("|---|---|---|---|---|---|")
     for batch in batches:
         # (remat spec, STEM_TRAIN_ENABLED): the stem A/B runs at one remat
-        # point to keep the sweep linear
-        for remat, stem_train in ((False, False), (True, False),
-                                  ("dots", False), ("dots", True)):
+        # point to keep the sweep linear — remat=off, the measured-best
+        # (round-4 pass: off 30.1 / full 27.3 / dots 27.7 img/s full step).
+        # Ordered most-informative-first so a watchdog timeout still yields
+        # the headline numbers.
+        for remat, stem_train in ((False, False), (False, True),
+                                  (True, False), ("dots", False)):
             pallas_cfg.STEM_TRAIN_ENABLED = stem_train
             model, criterion, optimizer, train_step, state, data = build(
                 remat, batch)
@@ -123,8 +126,8 @@ def main():
                     jax.random.PRNGKey(0), i))
                 return st, m["loss"].astype(jnp.float32)
 
-            rows = [("forward", fwd_only), ("fwd+loss", fwd_loss),
-                    ("fwd+bwd", fwd_bwd), ("full step", full)]
+            rows = [("full step", full), ("forward", fwd_only),
+                    ("fwd+loss", fwd_loss), ("fwd+bwd", fwd_bwd)]
             tag = {False: "off", True: "full"}.get(remat, remat)
             stag = "kernel" if stem_train else "xla"
             try:
