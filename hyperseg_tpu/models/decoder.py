@@ -145,7 +145,7 @@ class InvResUnit:
         from hyperseg_tpu.ops import pallas as pallas_cfg
         from hyperseg_tpu.ops.pallas.patch_invres import (
             patch_inverted_residual_fused, supported)
-        if ((pallas_cfg.ENABLED or x.shape[0] >= pallas_cfg.INVRES_MIN_BATCH)
+        if (pallas_cfg.invres_kernel_wanted(x.shape, w.shape)
                 and pallas_cfg.kernels_available()
                 and (ctx is None or not ctx.train)
                 and supported(x.shape, w.shape, self.kernel)):
@@ -350,7 +350,7 @@ def _s2w_fused_ok(u, x, s, ctx):
         return False
     if not pallas_cfg.kernels_available():
         return False
-    if not (pallas_cfg.ENABLED or x.shape[0] >= pallas_cfg.INVRES_MIN_BATCH):
+    if not pallas_cfg.invres_kernel_wanted(x.shape, s.shape):
         return False
     rt = u.s2w
     s_shape = (s.shape[0], s.shape[1], s.shape[2], rt.signal_ch)

@@ -17,6 +17,14 @@ the numerical oracle."""
 
 ENABLED = False
 INVRES_MIN_BATCH = 2
+# Batch-1 shape carve-out: dispatch the fused kernels at batch 1 too when the
+# patch is large. Measured (tools/bench_invres.py, v5e, 2026-08-18): at 32x32
+# patches (HyperSeg-L CamVid level 5, the level that runs at full input
+# resolution) the XLA gather path is pathological even at batch 1 — kernel
+# 3.44 ms vs gather 5.42 ms (1.57x); forcing kernels lifted the whole config
+# 108.6 -> 141.5 img/s. At 16x16 (M/L level 4) and 8x8 patches XLA still wins
+# at batch 1 (0.72 vs 0.67-0.90 ms), so the gate is patch AREA >= 1024.
+INVRES_B1_MIN_PATCH_AREA = 1024
 STEM_ENABLED = True
 # The stem kernel wins ONLY at batch 1 (v5e, ms: b1 M 0.37 vs XLA 0.74, S
 # 0.55 vs 0.65, L 0.24 vs 0.48; b2 S 0.87 vs 0.50, L 0.35 vs 0.33; b4+ XLA
@@ -48,6 +56,21 @@ MBCONV_EXPAND_ENABLED = False
 # 0.25-0.28 raw, all before baseline subtraction). Kept for larger-tensor
 # regimes where the banded matmuls amortize better.
 RESIZE_ENABLED = False
+
+
+def invres_kernel_wanted(x_shape, map_shape):
+    """Dispatch policy for the fused inverted-residual kernels (plain and
+    s2w-fused): forced (ENABLED), batched (batch >= INVRES_MIN_BATCH), or the
+    big-patch batch-1 carve-out (patch area >= INVRES_B1_MIN_PATCH_AREA — see
+    the flag comment). `map_shape` is any (B, fh, fw, ...) per-patch tensor
+    (the generated weight map or the signal container)."""
+    b, hgt, wid = x_shape[0], x_shape[1], x_shape[2]
+    fh, fw = map_shape[1], map_shape[2]
+    if ENABLED or b >= INVRES_MIN_BATCH:
+        return True
+    if hgt % fh == 0 and wid % fw == 0:
+        return (hgt // fh) * (wid // fw) >= INVRES_B1_MIN_PATCH_AREA
+    return False
 
 
 def kernels_available():

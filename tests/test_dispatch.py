@@ -63,6 +63,9 @@ def test_shipped_flag_defaults():
     # batch >= 2 dispatches the fused invres kernel (1.4-1.9x at batch 8;
     # XLA materializes the 6D halo tensor + 9 tap products there)
     assert pallas_cfg.INVRES_MIN_BATCH == 2
+    # batch-1 big-patch carve-out: 32x32 patches (L level 5) kernel 3.44 vs
+    # XLA 5.42 ms; 16x16 and below XLA wins at b1 (tools/bench_invres.py)
+    assert pallas_cfg.INVRES_B1_MIN_PATCH_AREA == 1024
     assert pallas_cfg.RESIZE_ENABLED is False  # XLA ~0.09 vs kernel ~0.11 ms
 
     from hyperseg_tpu.ops import patch as P
@@ -82,6 +85,9 @@ def test_shipped_flag_defaults():
     assert sig.parameters["method"].default == "select"
     assert inspect.signature(L.BootstrappedCrossEntropyLoss).parameters[
         "method"].default == "select"
+    # class-major CE: b16 fwd+bwd 135.7 -> 3.37 ms (NHWC C=19 pays a 6.7x
+    # lane-pad tax on every pass; class-major passes are lane-dense)
+    assert L.CE_CLASS_MAJOR is True
 
 
 def test_invres_batch_dispatch_policy(monkeypatch):
@@ -122,9 +128,14 @@ def test_invres_batch_dispatch_policy(monkeypatch):
     assert not run(2, 16, 16, 2, 2)
 
     monkeypatch.setattr(pallas_cfg, "kernels_available", lambda: True)
-    assert not run(1, 16, 16, 2, 2)        # batch 1 -> XLA
+    assert not run(1, 16, 16, 2, 2)        # batch 1, 8x8 patches -> XLA
     assert run(2, 16, 16, 2, 2)            # batch 2 -> kernel
     assert not run(2, 12, 12, 2, 2)        # ph=6 not 8-aligned -> XLA
+    # batch-1 big-patch carve-out: 32x32 patches dispatch even at batch 1
+    # (L-CamVid level 5: kernel 3.44 vs XLA 5.42 ms)
+    assert run(1, 64, 64, 2, 2)
+    monkeypatch.setattr(pallas_cfg, "INVRES_B1_MIN_PATCH_AREA", 10 ** 9)
+    assert not run(1, 64, 64, 2, 2)
 
 
 def test_patchconv_fullmap_batch_gate(monkeypatch):

@@ -25,7 +25,7 @@ EXPECTED = {
     "hyperseg-m_cityscapes_1024x512": 419.5,
     "hyperseg-s_cityscapes_1536x768": 160.5,
     "hyperseg-s_camvid_768x576": 409.1,
-    "hyperseg-l_camvid_1024x768": 108.6,
+    "hyperseg-l_camvid_1024x768": 142.5,
     "hyperseg-l_voc_512x512": 305.9,
 }
 
