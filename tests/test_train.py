@@ -30,6 +30,33 @@ def test_bootstrapped_ce_parity(reference, torch):
             np.testing.assert_allclose(float(got), ref, rtol=2e-5)
 
 
+def test_ce_class_major_matches_gather():
+    """The class-major CE layout (one transpose, lane-dense passes — 40x on
+    v5e at the b16 training shape) must match the NHWC gather formulation in
+    value and gradient, with class weights and ignored pixels."""
+    rng = np.random.RandomState(1)
+    b, c, h, w = 2, 19, 16, 24
+    logits = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+    labels_np = rng.randint(0, c, (b, h, w))
+    labels_np[1, 5:] = 255
+    labels = jnp.asarray(labels_np, jnp.int32)
+    wgt = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+    try:
+        for weight in (None, wgt):
+            def f(x, cm):
+                L.CE_CLASS_MAJOR = cm
+                nll, valid = L.softmax_cross_entropy(
+                    x, labels, ignore_index=255, weight=weight)
+                return nll.sum() / jnp.maximum(valid.sum(), 1)
+            v0, g0 = jax.value_and_grad(lambda x: f(x, False))(logits)
+            v1, g1 = jax.value_and_grad(lambda x: f(x, True))(logits)
+            np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                                       atol=1e-7)
+    finally:
+        L.CE_CLASS_MAJOR = True
+
+
 def test_bootstrapped_ce_select_matches_sort():
     """The sort-free formulation (bit-bisection k-th largest + masked
     reductions) must agree with the full-sort formulation in value AND

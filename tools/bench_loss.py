@@ -37,14 +37,18 @@ def main():
         labels = jnp.asarray(rng.randint(0, C, (b, *RES)), jnp.int32)
         base = timed(lambda x, y: x[0, 0, 0, 0], logits, labels)
         for method in ("sort", "select"):
-            def f(x, y, m=method):
-                return L.bootstrapped_cross_entropy(
-                    x, y, k=4096, thresh=0.3, ignore_index=255, method=m)
+            for cmajor in (False, True):
+                L.CE_CLASS_MAJOR = cmajor
+                def f(x, y, m=method):
+                    return L.bootstrapped_cross_entropy(
+                        x, y, k=4096, thresh=0.3, ignore_index=255, method=m)
 
-            fwd = timed(f, logits, labels) - base
-            fb = timed(lambda x, y: jax.value_and_grad(f)(x, y)[0],
-                       logits, labels) - base
-            print(f"| {b} | {method} | {fwd:.3f} | {fb:.3f} |", flush=True)
+                fwd = timed(f, logits, labels) - base
+                fb = timed(lambda x, y: jax.value_and_grad(f)(x, y)[0],
+                           logits, labels) - base
+                tag = method + ("+cmajor" if cmajor else "")
+                print(f"| {b} | {tag} | {fwd:.3f} | {fb:.3f} |", flush=True)
+        L.CE_CLASS_MAJOR = True
 
 
 if __name__ == "__main__":
