@@ -32,8 +32,10 @@ STEM_ENABLED = True
 # scales linearly with batch while XLA's conv amortizes. Batch-gated here.
 STEM_MAX_BATCH = 1
 # Route the TRAINING forward's stem conv through the kernel too (custom_vjp:
-# Pallas forward / XLA conv backward; BN-train + swish stay XLA). OFF until
-# measured on-chip (tools/bench_train.py A/Bs it via this flag).
+# Pallas forward / XLA conv backward; BN-train + swish stay XLA). OFF by
+# measurement (tools/bench_train.py, v5e b16 full step: 291.7 ms with the
+# kernel vs 274.2 XLA — the custom_vjp boundary blocks XLA's fusion around
+# the stem in the train graph).
 STEM_TRAIN_ENABLED = False
 
 # Fused planar MBConv prefix chain (ops/pallas/mbconv.py). MBCONV_ENABLED

@@ -56,7 +56,9 @@ def test_shipped_flag_defaults():
     # stem kernel wins only at batch 1 (b2+: the one-hot selection matmul
     # scales with batch while XLA's conv amortizes; b8 S_camvid 3.17 vs 1.74)
     assert pallas_cfg.STEM_MAX_BATCH == 1
-    assert pallas_cfg.STEM_TRAIN_ENABLED is False  # pending on-chip A/B
+    # train-path stem kernel loses: b16 full step 291.7 vs 274.2 ms (the
+    # custom_vjp boundary blocks fusion around the stem in the train graph)
+    assert pallas_cfg.STEM_TRAIN_ENABLED is False
     assert pallas_cfg.MBCONV_ENABLED is True
     assert pallas_cfg.MBCONV_EXPAND_ENABLED is False
     assert pallas_cfg.ENABLED is False  # patch_invres forced-on: batch-1 loses

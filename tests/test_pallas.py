@@ -134,6 +134,10 @@ def test_stem_kernel_parity(shape):
     ref = ref * jax.nn.sigmoid(ref)
     got = S.stem_conv_bn_swish(x, wt, s, b, m, v, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    # the band-rows grid parameter (MXU M-tile sizing lever) is layout-only
+    got64 = S.stem_conv_bn_swish(x, wt, s, b, m, v, band_rows=64,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got64), np.asarray(got), atol=1e-6)
     # lane-permutation gather de-interleave must be the same map exactly
     got_g = S.stem_conv_bn_swish(x, wt, s, b, m, v, gather=True,
                                  interpret=True)

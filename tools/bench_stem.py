@@ -54,14 +54,21 @@ def main():
                 y = (y - m) * jax.lax.rsqrt(v + 1e-3) * s + b
                 return y * jax.nn.sigmoid(y)
 
-            def matmul_stem(xi):
-                return S.stem_conv_bn_swish(xi, wt, s, b, m, v, gather=False)
+            def matmul_stem(xi, band=32):
+                return S.stem_conv_bn_swish(xi, wt, s, b, m, v, gather=False,
+                                            band_rows=band)
 
             def gather_stem(xi):
                 return S.stem_conv_bn_swish(xi, wt, s, b, m, v, gather=True)
 
             res = {}
+            # band sweep: the selection matmul's M dim is 2*band+2 rows —
+            # band=32 is 66 rows (half an MXU M-tile), band=64 is 130
             for vname, fn in [("xla", xla_stem), ("matmul", matmul_stem),
+                              ("band64",
+                               functools.partial(matmul_stem, band=64)),
+                              ("band128",
+                               functools.partial(matmul_stem, band=128)),
                               ("gather", gather_stem)]:
                 try:
                     res[vname] = timed(fn, x)
