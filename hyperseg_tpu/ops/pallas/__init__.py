@@ -26,11 +26,15 @@ INVRES_MIN_BATCH = 2
 # at batch 1 (0.72 vs 0.67-0.90 ms), so the gate is patch AREA >= 1024.
 INVRES_B1_MIN_PATCH_AREA = 1024
 STEM_ENABLED = True
-# The stem kernel wins ONLY at batch 1 (v5e, ms: b1 M 0.37 vs XLA 0.74, S
-# 0.55 vs 0.65, L 0.24 vs 0.48; b2 S 0.87 vs 0.50, L 0.35 vs 0.33; b4+ XLA
-# wins everywhere, b8 S 3.17 vs 1.74): its per-row one-hot selection matmul
-# scales linearly with batch while XLA's conv amortizes. Batch-gated here.
-STEM_MAX_BATCH = 1
+# Batch gate for the eval stem kernel. The ISOLATED stem bench says XLA
+# catches up at batch >= 2 (b8 S 3.17 vs 1.74 ms) — but IN-GRAPH the kernel
+# wins at batch 8 on every benchmark config (v5e img/s, kernel vs XLA stem:
+# M 395.0/339.3, S-city 157.8/133.5, S-camvid 378.0/355.0, L-camvid
+# 143.5/128.3, L-voc 213.7/210.9): inside the jitted model the XLA stem's
+# 3-channel conv forces the same pathological layout pipeline it pays at
+# batch 1, while the isolated bench hands it a favorably-laid-out operand.
+# In-graph A/B is the binding measurement; gate effectively off.
+STEM_MAX_BATCH = 1 << 30
 # Route the TRAINING forward's stem conv through the kernel too (custom_vjp:
 # Pallas forward / XLA conv backward; BN-train + swish stay XLA). OFF by
 # measurement (tools/bench_train.py, v5e b16 full step: 291.7 ms with the

@@ -53,9 +53,11 @@ def test_fusable_prefix_respects_flags(monkeypatch):
 def test_shipped_flag_defaults():
     """The shipped flag set IS the measured-fastest configuration."""
     assert pallas_cfg.STEM_ENABLED is True
-    # stem kernel wins only at batch 1 (b2+: the one-hot selection matmul
-    # scales with batch while XLA's conv amortizes; b8 S_camvid 3.17 vs 1.74)
-    assert pallas_cfg.STEM_MAX_BATCH == 1
+    # stem kernel wins IN-GRAPH at every measured batch (b8, img/s kernel vs
+    # XLA stem: M 395/339, S-city 158/134, S-camvid 378/355, L-camvid 144/128,
+    # L-voc 214/211) — the isolated-op bench that favored XLA at b2+ handed
+    # the XLA conv a favorable layout the real graph never provides
+    assert pallas_cfg.STEM_MAX_BATCH >= 1 << 30
     # train-path stem kernel loses: b16 full step 291.7 vs 274.2 ms (the
     # custom_vjp boundary blocks fusion around the stem in the train graph)
     assert pallas_cfg.STEM_TRAIN_ENABLED is False
