@@ -55,8 +55,12 @@ OUT6D = False
 # grid cell — instead of reading the pre-generated (B, fh, fw, ~5k) weight
 # tensor from HBM. Eliminates the generated-weight HBM round-trip
 # (hyperseg_v1_0.py:321-326 generation feeding :328-370 consumption) AND the
-# XLA-side w1/w2/w3 relayout transposes. A/B lever; default by measurement.
-S2W_FUSED = False
+# XLA-side w1/w2/w3 relayout transposes. ON by measurement (v5e, full-model
+# img/s fused vs plain: M b8 392.8/391.2, S-camvid b8 369.4/373.5, L-camvid
+# b1 139.7/140.5, b8 144.0/142.9 — a tie within ±1.1%): at equal speed the
+# fused form is preferred because the (B, fh, fw, P) generated-weight tensor
+# (~10 MB/img at M level 4) never exists in HBM.
+S2W_FUSED = True
 
 
 def _lane_pad(n, lane=128):

@@ -83,6 +83,9 @@ def test_shipped_flag_defaults():
     assert P.FULLMAP_MIN_BATCH == 2       # b1 keeps the measured blocked form
     assert PI.RANK4_DOT is False          # loses + intermittent Mosaic 500s
     assert PI.OUT6D is False              # ties l4, loses 25% at l3
+    # fused s2w ties the plain kernel (±1.1% across M/S/L at b1/b8) and
+    # eliminates the generated-weight HBM round-trip -> ON
+    assert PI.S2W_FUSED is True
     assert SK.SEL_GATHER is False         # Mosaic compile fails (2026-08-18)
     # loss top-k: select beats sort (b8 67.1 vs 72.8, b16 135.2 vs 146.2 ms)
     sig = inspect.signature(L.bootstrapped_cross_entropy)
