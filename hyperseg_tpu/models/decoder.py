@@ -269,6 +269,17 @@ class V01InvResUnit:
         return sum(u.hyper_params for u in self.subunits)
 
     def apply(self, params, x, w, ctx=None):
+        if self._kernel_ok(x, w, ctx):
+            from hyperseg_tpu.ops.pallas.patch_invres import (
+                patch_inverted_residual_v01)
+            bn = lambda u: tuple(
+                params[f"{u.bn_prefix}.{f}"]
+                for f in ("weight", "bias", "running_mean", "running_var"))
+            e, d, p = self.subunits
+            return patch_inverted_residual_v01(
+                x, w, hidden=self.hidden, out_ch=self.out_ch,
+                kernel=self.kernel, bn1=bn(e), bn2=bn(d), bn3=bn(p),
+                eps=BN_EPS, padding_mode=self.padding_mode)
         out = x
         ofs = 0
         for u in self.subunits:
@@ -277,6 +288,30 @@ class V01InvResUnit:
         if self.stride == 1 and self.in_ch == self.out_ch:
             out = out + x
         return out
+
+    def _kernel_ok(self, x, w, ctx):
+        """Eval-mode dispatch gate for the V01-exact fused kernel: same batch
+        policy as InvResUnit, the 3-subunit relu6/relu6/none shape (expand
+        present, stride 1, k=3, reflect), and v01_supported's VMEM/alignment
+        gate. Train keeps the differentiable fullmap forms."""
+        from hyperseg_tpu.ops import pallas as pallas_cfg
+        from hyperseg_tpu.ops.pallas import patch_invres as PI
+        from hyperseg_tpu.ops.pallas.patch_invres import v01_supported
+        import numpy as np
+        if not PI.V01_KERNEL:
+            return False
+        if ctx is not None and ctx.train:
+            return False
+        if not (self.expand != 1 and self.stride == 1 and self.kernel == 3
+                and self.padding_mode == "reflect"
+                and len(self.subunits) == 3
+                and all(u.bn_prefix for u in self.subunits)):
+            return False
+        if not (pallas_cfg.invres_kernel_wanted(x.shape, w.shape)
+                and pallas_cfg.kernels_available()):
+            return False
+        return v01_supported(x.shape, w.shape, self.kernel,
+                             itemsize=np.dtype(x.dtype).itemsize)
 
 
 Unit = Union[PatchConvUnit, InvResUnit, V01InvResUnit]

@@ -62,6 +62,11 @@ OUT6D = False
 # (~10 MB/img at M level 4) never exists in HBM.
 S2W_FUSED = True
 
+# V01-exact fused kernel (expand with row-neighbor halo weights + dw + proj
+# in one cell; see _kernel_v01). Dispatched by V01InvResUnit under the same
+# batch policy as the v1_0 kernel. A/B lever; default by measurement.
+V01_KERNEL = True
+
 
 def _lane_pad(n, lane=128):
     """Round n up to a whole number of 128-lane tiles (Mosaic only lowers
@@ -403,6 +408,187 @@ def supported(x_shape, w_shape, kernel):
     ph, pw = hgt // fh, wid // fw
     return (hgt % fh == 0 and wid % fw == 0 and ph % 8 == 0 and pw % 8 == 0
             and 2 * (kernel // 2) <= 8)
+
+
+def _kernel_v01(xm, xrt, xct, xcn, w1_ref, w1u_ref, w1d_ref, w2_ref, w3_ref,
+                bn_ref, out_ref, *, ph, pw, fw, cin, hidden, out_ch, k,
+                residual, act_max):
+    """V01 (hyperseg_v0_1.py:205-237) semantics: the three convs fold back to
+    the FULL map between stages, so the depthwise halo pixels are the expand
+    outputs of the NEIGHBORING patches (their weights), not the center
+    patch's — unlike v1_0's patch-space pipeline (_kernel). One grid cell is
+    a FULL patch row: the 1-px top/bottom halo rows of the hidden map are
+    generated with the row-above/row-below patches' w1 (w1u/w1d), and the
+    left/right halo columns are in-band reflect mirrors (full-width cell =>
+    chunk edges are map edges). Bit-exact vs fullmap_pointwise +
+    fullmap_depthwise + fullmap pointwise-project with eval-mode BN."""
+    pad = k // 2
+    kh = ph + 2 * pad
+    cwid = fw * pw
+    s1 = bn_ref[0, :hidden]
+    b1 = bn_ref[1, :hidden]
+    s2 = bn_ref[2, :hidden]
+    b2 = bn_ref[3, :hidden]
+    s3 = bn_ref[4, :out_ch]
+    b3 = bn_ref[5, :out_ch]
+
+    # halo'd input band (kh, cwid + 2*pad, cin) — same assembly as _kernel
+    right = jnp.concatenate([xct[0], xcn[0][:2 * pad]], axis=0)
+    band = jnp.concatenate(
+        [jnp.concatenate([xm[0], xrt[0][:2 * pad]], axis=0),
+         right[:, :2 * pad]], axis=1)
+    intr = band[:, pad:pad + cwid]                    # (kh, cwid, cin) interior
+
+    def expand(rows, wref, n):
+        # rows: (n, cwid, cin) of the map; wref: (fw, cin, hidden) per patch
+        xp_ = jnp.transpose(rows.reshape(n, fw, pw, cin), (1, 0, 2, 3))
+        hh = lax.dot_general(
+            xp_.reshape(fw, n * pw, cin).astype(jnp.bfloat16),
+            wref.astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (fw, n*pw, hidden)
+        hh = jnp.clip(hh * s1 + b1, 0.0, act_max).astype(jnp.bfloat16)
+        # back to band-row layout (n, cwid, hidden)
+        return jnp.transpose(hh.reshape(fw, n, pw, hidden),
+                             (1, 0, 2, 3)).reshape(n, cwid, hidden)
+
+    hm = expand(intr[pad:pad + ph], w1_ref[0, 0], ph)     # own weights
+    ht = expand(intr[:pad], w1u_ref[0, 0], pad)           # row f-1 weights
+    hb = expand(intr[pad + ph:kh], w1d_ref[0, 0], pad)    # row f+1 weights
+    hband = jnp.concatenate([ht, hm, hb], axis=0)         # (kh, cwid, hidden)
+    # left/right halo cols: reflect mirrors of the hidden map (the cell spans
+    # the full width, so both edges are map edges; np-style reflect => col -1
+    # is col 1, col W is col W-2). pad == 1 only (k == 3 gate in supported).
+    hbp = jnp.concatenate(
+        [hband[:, 1:2], hband, hband[:, cwid - 2:cwid - 1]], axis=1)
+
+    # per-patch overlapping windows (fw, kh, pw + 2*pad, hidden) — same
+    # two-reshape trick as _kernel's input assembly
+    hmain = hbp[:, :cwid].reshape(kh, fw, pw, hidden)
+    hhalo = jnp.pad(hbp[:, pw:], ((0, 0), (0, pw - 2 * pad), (0, 0)))
+    hhalo = hhalo[:, :cwid].reshape(kh, fw, pw, hidden)[:, :, :2 * pad]
+    hwin = jnp.transpose(jnp.concatenate([hmain, hhalo], axis=2),
+                         (1, 0, 2, 3))                 # (fw, kh, pw+2p, hid)
+
+    w2 = w2_ref[0, 0]                                  # (fw, k, k, hidden)
+    acc = jnp.zeros((fw, ph, pw, hidden), jnp.float32)
+    for di in range(k):
+        for dj in range(k):
+            tap_w = w2[:, di, dj, :].astype(jnp.float32)[:, None, None, :]
+            acc = acc + (hwin[:, di:di + ph, dj:dj + pw, :]
+                         .astype(jnp.float32) * tap_w)
+    d = jnp.clip(acc * s2 + b2, 0.0, act_max).astype(jnp.bfloat16)
+
+    o = lax.dot_general(
+        d.reshape(fw, ph * pw, hidden),
+        w3_ref[0, 0].astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # (fw, ph*pw, out)
+    o = o * s3 + b3
+    if residual:
+        ctr = jnp.transpose(intr[pad:pad + ph].reshape(ph, fw, pw, cin),
+                            (1, 0, 2, 3))
+        o = o + ctr.reshape(fw, ph * pw, cin).astype(jnp.float32)
+    o = o.reshape(fw, ph, pw, out_ch).astype(out_ref.dtype)
+    out_ref[0, 0] = jnp.swapaxes(o, 0, 1).reshape(ph, fw * pw, out_ch)
+
+
+def v01_supported(x_shape, w_shape, kernel, itemsize=2):
+    """Shape gate for the V01 fused kernel: the plain kernel's alignment
+    rules, pad == 1 (k == 3: the halo-mirror slices are written for 1 px),
+    and a FULL patch row must fit the VMEM working set (the row-neighbor
+    weight exchange needs chunk == fw; no column chunking)."""
+    b, hgt, wid, cin = x_shape
+    _, fh, fw, _ = w_shape
+    if hgt % fh or wid % fw:
+        return False
+    ph, pw = hgt // fh, wid // fw
+    if ph % 8 or pw % 8 or kernel != 3:
+        return False
+    kh = ph + 2
+    # band + hidden band + fp32 acc, full width
+    return fw * pw * kh * max(cin, 2 * cin) * 4 * 3 <= 6_000_000
+
+
+def patch_inverted_residual_v01(x, w, *, hidden, out_ch, kernel=3,
+                                bn1, bn2, bn3, eps=1e-5, act_max=6.0,
+                                padding_mode="reflect", interpret=False):
+    """V01-exact fused inverted residual: x (B, H, W, Cin); w (B, fh, fw, P)
+    with the [out*in | C*k*k | out*hidden] per-subunit layout V01InvResUnit
+    slices (identical to the v1_0 flat layout). Full-map-BN semantics: halo
+    hidden pixels are generated with the NEIGHBOR row's w1 (see _kernel_v01).
+    Returns (B, H, W, out_ch); bit-comparable to the three PatchConvUnits'
+    fullmap forms (hyperseg_v0_1.py:205-237)."""
+    b, hgt, wid, cin = x.shape
+    _, fh, fw, P = w.shape
+    ph, pw = hgt // fh, wid // fw
+    k = kernel
+    pad = k // 2
+    residual = (cin == out_ch)
+    assert v01_supported(x.shape, w.shape, k) and padding_mode == "reflect"
+
+    r1 = cin * hidden
+    r2 = r1 + hidden * k * k
+    w1 = w[..., :r1].reshape(b, fh, fw, hidden, cin)
+    w1 = jnp.swapaxes(w1, -1, -2)                         # (.., cin, hidden)
+    # row-neighbor w1 (edge rows clamp: the reflect halo row belongs to the
+    # edge patch row itself)
+    w1u = jnp.concatenate([w1[:, :1], w1[:, :-1]], axis=1)
+    w1d = jnp.concatenate([w1[:, 1:], w1[:, -1:]], axis=1)
+    w2 = w[..., r1:r2].reshape(b, fh, fw, hidden, k, k)
+    w2 = jnp.moveaxis(w2, -3, -1)                         # (.., k, k, hidden)
+    w3 = w[..., r2:].reshape(b, fh, fw, out_ch, hidden)
+    w3 = jnp.swapaxes(w3, -1, -2)                         # (.., hidden, out)
+
+    s1, b1 = _fold_bn(*bn1, eps)
+    s2, b2 = _fold_bn(*bn2, eps)
+    s3, b3 = _fold_bn(*bn3, eps)
+    maxc = max(hidden, out_ch)
+
+    def padv(v):
+        return jnp.pad(v, (0, maxc - v.shape[0]))
+
+    bn_pack = jnp.stack([padv(s1), padv(b1), padv(s2), padv(b2),
+                         padv(s3), padv(b3)])
+
+    from hyperseg_tpu.nn import functional as F
+    xpad = F.pad2d(x, ((pad, pad), (pad, pad)), mode=padding_mode)
+    xpad = jnp.pad(xpad, ((0, 0), (0, 8 - 2 * pad), (0, 8 - 2 * pad), (0, 0)))
+
+    cw = fw * pw
+    kern = functools.partial(
+        _kernel_v01, ph=ph, pw=pw, fw=fw, cin=cin, hidden=hidden,
+        out_ch=out_ch, k=k, residual=residual, act_max=act_max)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(b, fh),
+        in_specs=[
+            pl.BlockSpec((1, ph, cw, cin), lambda bi, f: (bi, f, 0, 0)),
+            pl.BlockSpec((1, 8, cw, cin),
+                         lambda bi, f: (bi, (f + 1) * ph // 8, 0, 0)),
+            pl.BlockSpec((1, ph, 8, cin), lambda bi, f: (bi, f, cw // 8, 0)),
+            pl.BlockSpec((1, 8, 8, cin),
+                         lambda bi, f: (bi, (f + 1) * ph // 8, cw // 8, 0)),
+            pl.BlockSpec((1, 1, fw, cin, hidden),
+                         lambda bi, f: (bi, f, 0, 0, 0)),
+            pl.BlockSpec((1, 1, fw, cin, hidden),
+                         lambda bi, f: (bi, f, 0, 0, 0)),
+            pl.BlockSpec((1, 1, fw, cin, hidden),
+                         lambda bi, f: (bi, f, 0, 0, 0)),
+            pl.BlockSpec((1, 1, fw, k, k, hidden),
+                         lambda bi, f: (bi, f, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, fw, hidden, out_ch),
+                         lambda bi, f: (bi, f, 0, 0, 0)),
+            pl.BlockSpec((6, maxc), lambda bi, f: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, ph, cw, out_ch),
+                               lambda bi, f: (bi, f, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, fh, ph, wid, out_ch), x.dtype),
+        interpret=interpret,
+    )(xpad, xpad, xpad, xpad, w1, w1u, w1d, w2, w3, bn_pack)
+
+    return out.reshape(b, hgt, wid, out_ch)
 
 
 def patch_inverted_residual_fused(x, w, *, hidden, out_ch, kernel=3,

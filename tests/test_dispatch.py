@@ -145,6 +145,60 @@ def test_invres_batch_dispatch_policy(monkeypatch):
     assert not run(1, 64, 64, 2, 2)
 
 
+def test_v01_invres_dispatch_and_parity(monkeypatch):
+    """V01InvResUnit routes through the V01-exact fused kernel under the
+    shared batch policy (kernel at batch >= 2 on a TPU backend, XLA at
+    batch 1 / on CPU / in training), and the kernel path matches the
+    subunit-composition path (interpret mode)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from hyperseg_tpu.models.decoder import V01InvResUnit
+    from hyperseg_tpu.nn import functional as F
+    from hyperseg_tpu.ops.pallas import patch_invres as PI
+
+    unit = V01InvResUnit(prefix="u", in_ch=6, out_ch=6, hidden=12, kernel=3,
+                         expand=2)
+    params = {}
+    for j, ch in [(0, 12), (1, 12), (2, 6)]:
+        params[f"u.conv.{j}.1.weight"] = jnp.ones(ch) * 0.9
+        params[f"u.conv.{j}.1.bias"] = jnp.zeros(ch) + 0.05
+        params[f"u.conv.{j}.1.running_mean"] = jnp.zeros(ch) + 0.02
+        params[f"u.conv.{j}.1.running_var"] = jnp.ones(ch) * 1.1
+
+    calls = []
+    real = PI.patch_inverted_residual_v01
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k, interpret=True)
+
+    monkeypatch.setattr(PI, "patch_inverted_residual_v01", spy)
+
+    def run(b, ctx=None):
+        calls.clear()
+        # deterministic per-batch-size data: the kernel-vs-XLA comparison
+        # below calls run(2) twice and must see identical inputs
+        r = np.random.RandomState(b)
+        x = jnp.asarray(r.rand(b, 16, 16, 6), jnp.float32)
+        w = jnp.asarray(r.rand(b, 2, 2, unit.hyper_params) * 0.1)
+        y = unit.apply(params, x, w, ctx)
+        return bool(calls), y
+
+    assert not run(2)[0]                       # CPU backend: no dispatch
+    monkeypatch.setattr(pallas_cfg, "kernels_available", lambda: True)
+    assert not run(1)[0]                       # batch 1, small patches: XLA
+    hit, got = run(2)
+    assert hit                                 # batch 2: kernel
+    monkeypatch.setattr(pallas_cfg, "kernels_available", lambda: False)
+    _, want = run(2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=0.05, rtol=0.05)
+    monkeypatch.setattr(pallas_cfg, "kernels_available", lambda: True)
+    assert not run(2, F.Ctx(train=True))[0]    # training: differentiable XLA
+    monkeypatch.setattr(PI, "V01_KERNEL", False)
+    assert not run(2)[0]                       # lever off
+
+
 def test_patchconv_fullmap_batch_gate(monkeypatch):
     """PatchConvUnit's full-map eval forms (pointwise + depthwise) dispatch
     only at batch >= FULLMAP_MIN_BATCH or in training: the recorded batch-1

@@ -65,6 +65,58 @@ def test_invres_fused_matches_oracle(b, fh, fw, ph, pw, cin, hidden, out):
     np.testing.assert_array_equal(np.asarray(got6), np.asarray(got))
 
 
+@pytest.mark.parametrize("b,fh,fw,ph,pw,cin,hidden,out", [
+    (2, 4, 4, 8, 8, 11, 22, 11),    # residual (L-voc level-5-like ratios)
+    (1, 2, 4, 16, 16, 16, 32, 14),  # non-residual, wide patches
+    (1, 1, 2, 8, 16, 6, 12, 6),     # single patch row (w1u == w1d == w1)
+])
+def test_invres_v01_matches_oracle(b, fh, fw, ph, pw, cin, hidden, out):
+    """V01 semantics (hyperseg_v0_1.py:205-237): each conv folds back to the
+    full map, so depthwise halo pixels are the NEIGHBOR patches' expand
+    outputs. Oracle = the three PatchConvUnit stages exactly as
+    V01InvResUnit.apply's XLA path computes them."""
+    from hyperseg_tpu.ops.pallas.patch_invres import (
+        patch_inverted_residual_v01, v01_supported)
+
+    rng = np.random.RandomState(2)
+    H, W = fh * ph, fw * pw
+    x = jnp.asarray(rng.randn(b, H, W, cin), jnp.float32)
+    P_total = cin * hidden + hidden * 9 + hidden * out
+    w = jnp.asarray(rng.randn(b, fh, fw, P_total) * 0.1, jnp.float32)
+    bns = []
+    for c in (hidden, hidden, out):
+        bns.append((jnp.asarray(rng.rand(c) + 0.5, jnp.float32),
+                    jnp.asarray(rng.randn(c) * 0.1, jnp.float32),
+                    jnp.asarray(rng.randn(c) * 0.1, jnp.float32),
+                    jnp.asarray(rng.rand(c) + 0.5, jnp.float32)))
+    assert v01_supported(x.shape, w.shape, 3)
+
+    r1, r2 = cin * hidden, cin * hidden + hidden * 9
+    # stage 1: per-patch 1x1 on owned pixels, fold back, full-map BN + relu6
+    h = P.unblock_patches(P.patch_pointwise(
+        P.block_patches(x, fh, fw), w[..., :r1], hidden))
+    h = jnp.clip(F.batch_norm(h, *bns[0]), 0, 6)
+    # stage 2: depthwise with halo from the reassembled hidden MAP (neighbor
+    # pixels carry neighbor weights' outputs)
+    hp = P.extract_patches_with_halo(h, fh, fw, (1, 1), mode="reflect")
+    h = P.unblock_patches(P.patch_depthwise_valid(hp, w[..., r1:r2], (3, 3)))
+    h = jnp.clip(F.batch_norm(h, *bns[1]), 0, 6)
+    # stage 3: per-patch 1x1 project, full-map BN, residual
+    h = P.unblock_patches(P.patch_pointwise(
+        P.block_patches(h, fh, fw), w[..., r2:], out))
+    want = F.batch_norm(h, *bns[2])
+    if cin == out:
+        want = want + x
+
+    got = patch_inverted_residual_v01(
+        x, w, hidden=hidden, out_ch=out, kernel=3,
+        bn1=bns[0], bn2=bns[1], bn3=bns[2], interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=0.05, rtol=0.05)
+    g, w_ = np.asarray(got).ravel(), np.asarray(want).ravel()
+    assert np.corrcoef(g, w_)[0, 1] > 0.999
+
+
 @pytest.mark.parametrize("b,fh,fw,ph,pw,cin,hidden,out,sig,padded", [
     (2, 4, 4, 8, 8, 24, 48, 16, 96, 0),
     (1, 2, 3, 16, 16, 34, 68, 19, 128, 7),  # dense wider than P (group pad)

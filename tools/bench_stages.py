@@ -69,13 +69,16 @@ def main():
             if k < dec.levels:
                 sub.out_fc_units = []
             if is_v0:
-                fn = lambda ss: sub(params, xs, list(ss[:k + 1]), None)
-                arg = s
+                # spread the per-level weight list: timed()'s perturb only
+                # handles array args
+                n = k + 1
+                fn = lambda *ws: sub(params, xs, list(ws), None)
+                args = tuple(s[:n])
             else:
                 fn = lambda ss: sub(params, xs, ss, None)
-                arg = s
+                args = (s,)
             try:
-                ms = timed(fn, arg)
+                ms = timed(fn, *args)
             except Exception as e:
                 rows.append((f"level{k - 1}", float("nan")))
                 print(f"  level{k - 1}: ERR {type(e).__name__}: {str(e)[:120]}")
