@@ -311,6 +311,7 @@ class V01InvResUnit:
                 and pallas_cfg.kernels_available()):
             return False
         return v01_supported(x.shape, w.shape, self.kernel,
+                             hidden=self.hidden,
                              itemsize=np.dtype(x.dtype).itemsize)
 
 

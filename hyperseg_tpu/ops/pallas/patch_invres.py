@@ -493,11 +493,16 @@ def _kernel_v01(xm, xrt, xct, xcn, w1_ref, w1u_ref, w1d_ref, w2_ref, w3_ref,
     out_ref[0, 0] = jnp.swapaxes(o, 0, 1).reshape(ph, fw * pw, out_ch)
 
 
-def v01_supported(x_shape, w_shape, kernel, itemsize=2):
+def v01_supported(x_shape, w_shape, kernel, hidden=None, itemsize=2):
     """Shape gate for the V01 fused kernel: the plain kernel's alignment
     rules, pad == 1 (k == 3: the halo-mirror slices are written for 1 px),
     and a FULL patch row must fit the VMEM working set (the row-neighbor
-    weight exchange needs chunk == fw; no column chunking)."""
+    weight exchange needs chunk == fw; no column chunking). VMEM model
+    calibrated against the compiler: Mosaic keeps all nine unrolled
+    depthwise tap products live (each an f32 (fw, ph, pw, hidden) block), so
+    the dominant term is ~10x that block plus the bf16 input/hidden bands —
+    L-voc level 5 (fw=16, 32x32 patches, hidden=22) measures 19.2 MB against
+    the 16 MB scoped limit and must fall back to XLA."""
     b, hgt, wid, cin = x_shape
     _, fh, fw, _ = w_shape
     if hgt % fh or wid % fw:
@@ -505,9 +510,11 @@ def v01_supported(x_shape, w_shape, kernel, itemsize=2):
     ph, pw = hgt // fh, wid // fw
     if ph % 8 or pw % 8 or kernel != 3:
         return False
-    kh = ph + 2
-    # band + hidden band + fp32 acc, full width
-    return fw * pw * kh * max(cin, 2 * cin) * 4 * 3 <= 6_000_000
+    hid = 2 * cin if hidden is None else hidden
+    kh, cwid = ph + 2, fw * pw
+    block = fw * ph * pw * hid * 4          # one f32 (fw, ph, pw, hidden)
+    bands = kh * (cwid + 2) * (cin + 2 * hid) * itemsize
+    return 10 * block + 2 * bands <= 14_000_000
 
 
 def patch_inverted_residual_v01(x, w, *, hidden, out_ch, kernel=3,

@@ -208,7 +208,7 @@ stem_conv.defvjp(_stem_conv_fwd, _stem_conv_bwd)
 
 def stem_conv_bn_swish(x, weight, bn_scale, bn_bias, bn_mean, bn_var, *,
                        eps=1e-3, act="swish", band_rows=32, planar=False,
-                       gather=None, interpret=False):
+                       gather=None, chunk_cols=None, interpret=False):
     """x: (B, H, W, cin); weight: (3, 3, cin, cout) HWIO; TF-SAME stride-2
     padding ((0,1),(0,1)). Returns NHWC (B, H//2, W//2, cout), or channel-
     planar (B, cout, H//2, W//2) with planar=True (feeds the fused MBConv
@@ -223,7 +223,12 @@ def stem_conv_bn_swish(x, weight, bn_scale, bn_bias, bn_mean, bn_var, *,
     rows = band_rows
     while h2 % rows:
         rows //= 2
-    cw = _pick_cw(w2, cin, itemsize, gather=gather)
+    # chunk_cols overrides the auto pick (A/B lever, tools/bench_stem.py):
+    # the selection matmul's per-output-column MACs scale ~linearly with CW
+    # (K and N both grow with it), so NARROWER chunks do less de-interleave
+    # work per pixel — down to where grid/assembly overhead wins.
+    cw = chunk_cols or _pick_cw(w2, cin, itemsize, gather=gather)
+    assert cw and cw % 128 == 0 and w2 % cw == 0
     kwi = 2 * cin * cw
 
     # interleaved rows + bottom row pad (8-row halo blocks) + right col pad

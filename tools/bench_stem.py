@@ -54,9 +54,9 @@ def main():
                 y = (y - m) * jax.lax.rsqrt(v + 1e-3) * s + b
                 return y * jax.nn.sigmoid(y)
 
-            def matmul_stem(xi, band=32):
+            def matmul_stem(xi, band=32, cw=None):
                 return S.stem_conv_bn_swish(xi, wt, s, b, m, v, gather=False,
-                                            band_rows=band)
+                                            band_rows=band, chunk_cols=cw)
 
             def gather_stem(xi):
                 return S.stem_conv_bn_swish(xi, wt, s, b, m, v, gather=True)
@@ -69,6 +69,16 @@ def main():
                                functools.partial(matmul_stem, band=64)),
                               ("band128",
                                functools.partial(matmul_stem, band=128)),
+                              # narrow chunks: per-col selection MACs scale
+                              # with CW, so 128 halves the dominant matmul
+                              ("cw128",
+                               functools.partial(matmul_stem, cw=128)),
+                              ("cw128b64",
+                               functools.partial(matmul_stem, band=64,
+                                                 cw=128)),
+                              ("cw128b128",
+                               functools.partial(matmul_stem, band=128,
+                                                 cw=128)),
                               ("gather", gather_stem)]:
                 try:
                     res[vname] = timed(fn, x)
