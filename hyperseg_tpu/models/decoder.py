@@ -307,6 +307,23 @@ class V01InvResUnit:
                 and len(self.subunits) == 3
                 and all(u.bn_prefix for u in self.subunits)):
             return False
+        # The kernel hardcodes the default 3-subunit shape (1x1 expand+relu6,
+        # kxk depthwise+relu6, 1x1 project, all stride 1). A caller-supplied
+        # subunits list (__post_init__ returns early on one) could differ in
+        # ways the checks above don't see — gate on the fields themselves.
+        e, d, p = self.subunits
+        if not (
+            (e.act, d.act, p.act) == ("relu6", "relu6", None)
+            and (e.kernel, d.kernel, p.kernel) == (1, self.kernel, 1)
+            and (e.stride, d.stride, p.stride) == (1, 1, 1)
+            and (e.pad, d.pad, p.pad) == (0, self.kernel // 2, 0)
+            and (e.groups, p.groups) == (1, 1)
+            and d.groups == d.in_ch == d.out_ch == self.hidden
+            and (e.in_ch, e.out_ch) == (self.in_ch, self.hidden)
+            and (p.in_ch, p.out_ch) == (self.hidden, self.out_ch)
+            and d.padding_mode == self.padding_mode
+        ):
+            return False
         if not (pallas_cfg.invres_kernel_wanted(x.shape, w.shape)
                 and pallas_cfg.kernels_available()):
             return False

@@ -33,7 +33,11 @@ STEM_ENABLED = True
 # 143.5/128.3, L-voc 213.7/210.9): inside the jitted model the XLA stem's
 # 3-channel conv forces the same pathological layout pipeline it pays at
 # batch 1, while the isolated bench hands it a favorably-laid-out operand.
-# In-graph A/B is the binding measurement; gate effectively off.
+# In-graph A/B is the binding measurement; gate effectively off. Large-batch
+# extrapolation checked on v5e (2026-08-19, in-graph HyperSeg-M full model,
+# kernel vs XLA stem): b16 372.2/321.4, b32 362.0/350.5 img/s — the kernel
+# keeps winning, margin narrowing (~16% -> ~3%) as the batched XLA conv
+# amortizes its layout pipeline; no crossover through b32.
 STEM_MAX_BATCH = 1 << 30
 # Route the TRAINING forward's stem conv through the kernel too (custom_vjp:
 # Pallas forward / XLA conv backward; BN-train + swish stay XLA). OFF by

@@ -173,6 +173,10 @@ def test_v01_invres_dispatch_and_parity(monkeypatch):
         return real(*a, **k, interpret=True)
 
     monkeypatch.setattr(PI, "patch_inverted_residual_v01", spy)
+    # the default is OFF (Mosaic remote-compile failure on the real chip,
+    # see patch_invres.py V01_KERNEL); this test exercises the dispatch
+    # POLICY with the lever pinned on, then checks the lever-off path last
+    monkeypatch.setattr(PI, "V01_KERNEL", True)
 
     def run(b, ctx=None):
         calls.clear()

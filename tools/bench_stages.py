@@ -62,6 +62,7 @@ def main():
 
         rows = [("backbone", bb_ms), ("weight_mapper", wm_ms)]
         prev = 0.0
+        gap_from = None  # first errored level in the current ERR run
         for k in range(1, dec.levels + 1):
             sub = copy.copy(dec)
             sub.level_units = dec.level_units[:k]
@@ -82,8 +83,16 @@ def main():
             except Exception as e:
                 rows.append((f"level{k - 1}", float("nan")))
                 print(f"  level{k - 1}: ERR {type(e).__name__}: {str(e)[:120]}")
+                if gap_from is None:
+                    gap_from = k - 1
                 continue
-            rows.append((f"level{k - 1}", ms - prev))
+            # after an ERR, prev is stale: this delta spans the errored
+            # level(s) too — label it so the cost isn't misattributed.
+            if gap_from is not None:
+                rows.append((f"level{gap_from}..{k - 1}", ms - prev))
+                gap_from = None
+            else:
+                rows.append((f"level{k - 1}", ms - prev))
             prev = ms
         rows.append(("decoder_total", prev))
         print(f"batch={b} (ms total / ms-per-img):")

@@ -32,7 +32,9 @@ timed = functools.partial(_timed, iters=ITERS)
 
 
 def main():
-    batches = [int(a) for a in sys.argv[1:]] or [1, 8]
+    batches = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 8]
+    only = [a for a in sys.argv[1:] if not a.isdigit()]
+    shapes = [s for s in SHAPES if not only or any(o in s[0] for o in only)]
     dtype = jnp.bfloat16
     rng = np.random.RandomState(0)
     wt = jnp.asarray(rng.randn(3, 3, 3, 32) * 0.1, dtype)
@@ -42,7 +44,7 @@ def main():
     v = jnp.asarray(rng.rand(32) + 0.5, jnp.float32)
 
     for batch in batches:
-        for name, H, W in SHAPES:
+        for name, H, W in shapes:
             if not S.supported(H, W, 3):
                 print(f"b={batch} {name}: unsupported, skipped")
                 continue
