@@ -25,6 +25,17 @@ INVRES_MIN_BATCH = 2
 # 108.6 -> 141.5 img/s. At 16x16 (M/L level 4) and 8x8 patches XLA still wins
 # at batch 1 (0.72 vs 0.67-0.90 ms), so the gate is patch AREA >= 1024.
 INVRES_B1_MIN_PATCH_AREA = 1024
+# Second batch-1 carve-out, for the LANE-PACKED kernel (patch_invres.py
+# LANE_PACK): levels with a LARGE map win in-graph at batch 1 regardless of
+# patch size. Measured (tools/bench_pack.py, v5e, 2026-08-19, b1 img/s
+# forced-vs-default): S-city 214.7 vs 161.3 (+33%, its levels are 8x8/16x16
+# patches but 192x384..384x768 maps) and L-camvid 185.2 vs 177.1 (l4 at
+# 384x512 adds +4.6% over the area carve-out alone); M (level maps <= 131k
+# px) 418.7 vs 423.4 and S-camvid (<= 110k px) 391.0 vs 413.8 say SMALL maps
+# still belong to the fused XLA gather at batch 1. Threshold splits the
+# measured win set {196608, 294912, 786432} from the loss set
+# {110592, 131072}.
+INVRES_B1_MIN_PIXELS = 150_000
 STEM_ENABLED = True
 # Batch gate for the eval stem kernel. The ISOLATED stem bench says XLA
 # catches up at batch >= 2 (b8 S 3.17 vs 1.74 ms) — but IN-GRAPH the kernel
@@ -79,7 +90,13 @@ def invres_kernel_wanted(x_shape, map_shape):
     if ENABLED or b >= INVRES_MIN_BATCH:
         return True
     if hgt % fh == 0 and wid % fw == 0:
-        return (hgt // fh) * (wid // fw) >= INVRES_B1_MIN_PATCH_AREA
+        if (hgt // fh) * (wid // fw) >= INVRES_B1_MIN_PATCH_AREA:
+            return True
+        # packed-kernel extension: big maps win at batch 1 even with small
+        # patches (see INVRES_B1_MIN_PIXELS) — only when lane packing is on
+        from hyperseg_tpu.ops.pallas import patch_invres as PI
+        g = PI.LANE_PACK if isinstance(PI.LANE_PACK, int) else 2
+        return g > 1 and hgt * wid >= INVRES_B1_MIN_PIXELS
     return False
 
 

@@ -64,8 +64,31 @@ S2W_FUSED = True
 
 # V01-exact fused kernel (expand with row-neighbor halo weights + dw + proj
 # in one cell; see _kernel_v01). Dispatched by V01InvResUnit under the same
-# batch policy as the v1_0 kernel. A/B lever; default by measurement.
-V01_KERNEL = True
+# batch policy as the v1_0 kernel. OFF by measurement (v5e, 2026-08-19,
+# tools/bench_all.py l_voc with/without): with the kernel admitted, the
+# whole-model compile fails on the real chip (Mosaic remote_compile HTTP 500,
+# tpu_compile_helper exit 1 — same lowering failure family as the stem's
+# SEL_GATHER variant) at BOTH b1 and b8; the fallback (gather/fullmap mix)
+# delivers b1 301.0 / b8 212.9 img/s. Interpret-mode parity still passes
+# (tests/test_pallas.py) so the kernel stays maintained as a formulation
+# reference until a Mosaic release lowers it.
+V01_KERNEL = False
+
+# Lane-packing (round-3 item 10): pack g patches onto the 128-lane axis
+# (block-diagonal stage-1/3 weights built XLA-side, lane-dense depthwise
+# taps, group-major store un-interleaved XLA-side). ON, g=4, by measurement
+# (v5e, 2026-08-19): isolated (tools/bench_invres.py), pack4 beats the base
+# fused kernel at EVERY decoder shape, b1 and b8 — b1 M_l4 0.492 vs 0.662 ms,
+# L_l5 2.010 vs 3.437; b8 M_l4 4.255 vs 5.573, L_l4 6.373 vs 8.286 — and
+# beats the XLA gather at b1 on 6/7 shapes. In-graph (tools/bench_pack.py,
+# b1 img/s default->packed): L-camvid 142.4 -> 177.1-185.2, S-city 161.3 ->
+# 214.7 with the b1 pixel-gate extension; M/S-camvid/L-voc within noise.
+# The two 5D in-kernel transposes of the first formulation were the Mosaic
+# remote-compile blocker; the shipped kernel only swaps LEADING dims.
+# Values: 1 = off, int g = pack g (pads absorb lane misalignment; the
+# wrapper lowers g to the largest divisor of the chunk), True/0 = one whole
+# lane tile (128/hidden) when hidden divides 128.
+LANE_PACK = 4
 
 
 def _lane_pad(n, lane=128):
@@ -185,6 +208,88 @@ def _kernel(xm, xrt, xct, xcn, w1_ref, w2_ref, w3_ref, bn_ref, out_ref, *,
     else:
         # (fw, ph, pw, out) -> (ph, fw*pw, out)
         out_ref[0, 0] = jnp.swapaxes(o, 0, 1).reshape(ph, fw * pw, out_ch)
+
+
+def _kernel_packed(xm, xrt, xct, xcn, w1_ref, w2p_ref, w3_ref, bn_ref,
+                   out_ref, *, ph, pw, fw, cin, hidden, out_ch, k, residual,
+                   act_max, g):
+    """Lane-packing experiment (round-3 item 10): groups of `g` patches ride
+    the 128-lane axis together (g*hidden = whole lane tiles), so the nine
+    depthwise tap FMAs run lane-DENSE (hidden=32 alone occupies 32/128 of
+    every VPU register and VMEM tile) and the stage-1/3 contractions issue
+    g-fold fewer MXU dispatches via block-diagonal weights (K: g*cin, N:
+    g*hidden — filling the systolic array's contraction depth that a
+    16-channel K leaves 8x idle). ALL packed operands arrive PRE-PACKED from
+    the wrapper (w1/w3 block-diagonal, w2 lane-concatenated, bn g-tiled) so
+    Mosaic only lowers dots, taps, and layout moves — the pad/stack
+    block-diagonal construction lives in XLA where it is a free relayout."""
+    pad = k // 2
+    kh = ph + 2 * pad
+    kw = pw + 2 * pad
+    gc = fw // g
+    gh = g * hidden
+    go = g * out_ch
+    s1 = bn_ref[0, :gh]
+    b1 = bn_ref[1, :gh]
+    s2 = bn_ref[2, :gh]
+    b2 = bn_ref[3, :gh]
+    s3 = bn_ref[4, :go]
+    b3 = bn_ref[5, :go]
+
+    # halo band + per-patch windows — identical assembly to _kernel
+    right = jnp.concatenate([xct[0], xcn[0][:2 * pad]], axis=0)
+    band = jnp.concatenate(
+        [jnp.concatenate([xm[0], xrt[0][:2 * pad]], axis=0),
+         right[:, :2 * pad]], axis=1)
+    cwid = fw * pw
+    main = band[:, :cwid].reshape(kh, fw, pw, cin)
+    halo = jnp.pad(band[:, pw:], ((0, 0), (0, pw - 2 * pad), (0, 0)))
+    halo = halo[:, :cwid].reshape(kh, fw, pw, cin)[:, :, :2 * pad]
+    win = jnp.concatenate([main, halo], axis=2)            # (kh, fw, kw, cin)
+    # packed operand: group member j's channels at lanes [j*cin, (j+1)*cin)
+    # — built by per-member slice + lane concat and a LEADING-dim swap only
+    # (Mosaic lowers leading-dim permutes as loop reindexing; a transpose
+    # that crosses into the minor two dims does not lower on this toolchain)
+    wing = win.reshape(kh, gc, g, kw, cin)
+    xpk = jnp.concatenate([wing[:, :, j] for j in range(g)],
+                          axis=-1)                         # (kh, gc, kw, g*c)
+    xpk = jnp.swapaxes(xpk, 0, 1)                          # (gc, kh, kw, g*c)
+
+    # stage 1: block-diagonal contraction (K: g*cin, N: g*hidden). Mosaic's
+    # tpu.matmul only lowers a SINGLE contracting dim, so the (g, cin) pair
+    # is merged into one g*cin axis on both operands.
+    h = lax.dot_general(
+        xpk.reshape(gc, kh * kw, g * cin).astype(jnp.bfloat16),
+        w1_ref[0, 0].astype(jnp.bfloat16),                 # (gc, g*cin, g*h)
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                # (gc, kh*kw, g*h)
+    h = jnp.clip(h * s1 + b1, 0.0, act_max)
+    h = h.reshape(gc, kh, kw, gh).astype(jnp.bfloat16)
+
+    # stage 2: lane-dense taps (g patches' hidden channels in each vector)
+    w2 = w2p_ref[0, 0]                                     # (gc, k, k, g*h)
+    acc = jnp.zeros((gc, ph, pw, gh), jnp.float32)
+    for di in range(k):
+        for dj in range(k):
+            tap_w = w2[:, di, dj, :].astype(jnp.float32)[:, None, None, :]
+            acc = acc + (h[:, di:di + ph, dj:dj + pw, :].astype(jnp.float32)
+                         * tap_w)
+    d = jnp.clip(acc * s2 + b2, 0.0, act_max).astype(jnp.bfloat16)
+
+    # stage 3: block-diagonal (g*hidden, g*out) — contraction stays on the
+    # already-merged lane dim, no lane splits
+    o = lax.dot_general(
+        d.reshape(gc, ph * pw, gh),
+        w3_ref[0, 0].astype(jnp.bfloat16),                 # (gc, g*h, g*out)
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                # (gc, ph*pw, g*o)
+    o = o * s3 + b3
+    if residual:
+        ctr = xpk[:, pad:pad + ph, pad:pad + pw]           # (gc, ph, pw, g*c)
+        o = o + ctr.reshape(gc, ph * pw, g * cin).astype(jnp.float32)
+    # store GROUP-MAJOR (gc, ph, pw, g*out) — no in-kernel unpack transpose;
+    # the wrapper un-interleaves in XLA where the relayout is free
+    out_ref[0, 0] = o.reshape(gc, ph, pw, g * out_ch).astype(out_ref.dtype)
 
 
 def _kernel_s2w(xm, xrt, xct, xcn, s_ref, d1_ref, d2_ref, d3_ref, bn_ref,
@@ -420,8 +525,11 @@ def _kernel_v01(xm, xrt, xct, xcn, w1_ref, w1u_ref, w1d_ref, w2_ref, w3_ref,
     a FULL patch row: the 1-px top/bottom halo rows of the hidden map are
     generated with the row-above/row-below patches' w1 (w1u/w1d), and the
     left/right halo columns are in-band reflect mirrors (full-width cell =>
-    chunk edges are map edges). Bit-exact vs fullmap_pointwise +
-    fullmap_depthwise + fullmap pointwise-project with eval-mode BN."""
+    chunk edges are map edges). Semantically exact vs fullmap_pointwise +
+    fullmap_depthwise + fullmap pointwise-project with eval-mode BN, at bf16
+    MXU precision (inputs/weights are cast to bf16 for the dots; the XLA
+    fullmap path computes in the input dtype, so parity tests use
+    atol/rtol ~5e-2, not bit equality)."""
     pad = k // 2
     kh = ph + 2 * pad
     cwid = fw * pw
@@ -532,7 +640,12 @@ def patch_inverted_residual_v01(x, w, *, hidden, out_ch, kernel=3,
     k = kernel
     pad = k // 2
     residual = (cin == out_ch)
-    assert v01_supported(x.shape, w.shape, k) and padding_mode == "reflect"
+    # Validate with the TRUE hidden width and dtype itemsize (the dispatch
+    # gate does the same) — the defaults (hidden=2*cin, itemsize=2) mis-size
+    # the VMEM model whenever expand_ratio != 2 or inputs are f32.
+    assert v01_supported(x.shape, w.shape, k, hidden=hidden,
+                         itemsize=x.dtype.itemsize)
+    assert padding_mode == "reflect"
 
     r1 = cin * hidden
     r2 = r1 + hidden * k * k
@@ -601,7 +714,8 @@ def patch_inverted_residual_v01(x, w, *, hidden, out_ch, kernel=3,
 def patch_inverted_residual_fused(x, w, *, hidden, out_ch, kernel=3,
                                   bn1, bn2, bn3, eps=1e-5, act_max=6.0,
                                   padding_mode="reflect", chunk=None,
-                                  rank4=None, out6d=None, interpret=False):
+                                  rank4=None, out6d=None, lane_pack=None,
+                                  interpret=False):
     """x: (B, H, W, Cin); w: (B, fh, fw, P) flat per-patch weights with the
     reference layout (in*hidden | hidden*k*k | hidden*out). bn*: tuples of
     (scale, bias, mean, var). Returns (B, H, W, out_ch)."""
@@ -661,6 +775,79 @@ def patch_inverted_residual_fused(x, w, *, hidden, out_ch, kernel=3,
         rank4 = RANK4_DOT
     if out6d is None:
         out6d = OUT6D
+    if lane_pack is None:
+        lane_pack = LANE_PACK
+    # auto mode (True/0) only packs to exactly one lane tile; an explicit
+    # integer g is honored at any alignment (pads absorb the remainder) but
+    # lowered to the largest divisor of the chunk (pack2 still beats the
+    # base kernel at every measured shape)
+    g = ((128 // hidden if 128 % hidden == 0 else 1)
+         if lane_pack is True or lane_pack == 0 else int(lane_pack))
+    while g > 1 and chunk % g:
+        g -= 1
+    if g > 1 and not rank4 and not out6d:
+        # ALL packed operands are built XLA-side (free relayouts) so the
+        # kernel body is only dots + taps + layout moves:
+        # depthwise taps: (.., chunk, k, k, hidden) -> (.., chunk//g, k, k,
+        # g*hidden) — lane-concatenated per group
+        w2p = w2.reshape(b, fh, fw // g, g, k, k, hidden)
+        w2p = jnp.moveaxis(w2p, 3, 5).reshape(b, fh, fw // g, k, k,
+                                              g * hidden)
+        # stage-1/3 block-diagonals: group member j's (cin, hidden) block
+        # sits at rows [j*cin, (j+1)*cin), cols [j*hidden, (j+1)*hidden)
+        w1g = w1.reshape(b, fh, fw // g, g, cin, hidden)
+        w1bd = jnp.concatenate(
+            [jnp.pad(w1g[:, :, :, j],
+                     ((0, 0),) * 3 + ((0, 0),
+                                      (j * hidden, (g - 1 - j) * hidden)))
+             for j in range(g)], axis=-2)     # (b, fh, fw//g, g*cin, g*h)
+        w3g = w3.reshape(b, fh, fw // g, g, hidden, out_ch)
+        w3bd = jnp.concatenate(
+            [jnp.pad(w3g[:, :, :, j],
+                     ((0, 0),) * 3 + ((0, 0),
+                                      (j * out_ch, (g - 1 - j) * out_ch)))
+             for j in range(g)], axis=-2)     # (b, fh, fw//g, g*h, g*out)
+        # bn rows g-tiled to match the packed lane layout
+        gmax = g * maxc
+
+        def tilev(v):
+            return jnp.pad(jnp.tile(v, g), (0, gmax - g * v.shape[0]))
+
+        bn_pack_g = jnp.stack([tilev(s1), tilev(b1), tilev(s2), tilev(b2),
+                               tilev(s3), tilev(b3)])       # (6, g*maxc)
+        kern = functools.partial(
+            _kernel_packed, ph=ph, pw=pw, fw=chunk, cin=cin, hidden=hidden,
+            out_ch=out_ch, k=k, residual=residual, act_max=act_max, g=g)
+        out = pl.pallas_call(
+            kern,
+            grid=(b, fh, nchunks),
+            in_specs=[
+                pl.BlockSpec((1, ph, cw, cin), lambda bi, f, c: (bi, f, c, 0)),
+                pl.BlockSpec((1, 8, cw, cin),
+                             lambda bi, f, c: (bi, (f + 1) * ph // 8, c, 0)),
+                pl.BlockSpec((1, ph, 8, cin),
+                             lambda bi, f, c: (bi, f, (c + 1) * cw // 8, 0)),
+                pl.BlockSpec((1, 8, 8, cin),
+                             lambda bi, f, c: (bi, (f + 1) * ph // 8,
+                                               (c + 1) * cw // 8, 0)),
+                pl.BlockSpec((1, 1, chunk // g, g * cin, g * hidden),
+                             lambda bi, f, c: (bi, f, c, 0, 0)),
+                pl.BlockSpec((1, 1, chunk // g, k, k, g * hidden),
+                             lambda bi, f, c: (bi, f, c, 0, 0, 0)),
+                pl.BlockSpec((1, 1, chunk // g, g * hidden, g * out_ch),
+                             lambda bi, f, c: (bi, f, c, 0, 0)),
+                pl.BlockSpec((6, gmax), lambda bi, f, c: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, chunk // g, ph, pw, g * out_ch),
+                                   lambda bi, f, c: (bi, f, c, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, fh, fw // g, ph, pw, g * out_ch), x.dtype),
+            interpret=interpret,
+        )(xpad, xpad, xpad, xpad, w1bd, w2p, w3bd, bn_pack_g)
+        # un-interleave the group-major store in XLA: fw index = gi*g + j
+        out = out.reshape(b, fh, fw // g, ph, pw, g, out_ch)
+        out = jnp.transpose(out, (0, 1, 3, 2, 5, 4, 6))
+        return out.reshape(b, hgt, wid, out_ch)
     kern = functools.partial(
         _kernel, ph=ph, pw=pw, fw=chunk, cin=cin, hidden=hidden, out_ch=out_ch,
         k=k, residual=residual, act_max=act_max, rank4=rank4, out6d=out6d)

@@ -14,6 +14,8 @@ from hyperseg_tpu.nn import functional as F
     (2, 4, 4, 8, 8, 24, 48, 16),
     (1, 2, 3, 16, 16, 34, 68, 19),
     (1, 2, 2, 8, 8, 16, 32, 16),   # residual path (cin == out)
+    (1, 2, 8, 8, 8, 16, 32, 16),   # lane_pack g=4 (residual, M-level-like)
+    (2, 2, 8, 8, 8, 8, 16, 8),     # lane_pack g=8
 ])
 def test_invres_fused_matches_oracle(b, fh, fw, ph, pw, cin, hidden, out):
     rng = np.random.RandomState(0)
@@ -41,12 +43,22 @@ def test_invres_fused_matches_oracle(b, fh, fw, ph, pw, cin, hidden, out):
     if cin == out:
         want = want + x
 
-    got = patch_inverted_residual_fused(
+    # the default path (lane-packed where the chunk divides) vs the oracle;
+    # kernel computes matmuls in bf16 inputs/fp32 accum, tolerance accordingly
+    got_default = patch_inverted_residual_fused(
         x, w, hidden=hidden, out_ch=out, kernel=3,
         bn1=bns[0], bn2=bns[1], bn3=bns[2], interpret=True)
-    # kernel computes matmuls in bf16 inputs/fp32 accum; tolerance accordingly
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=0.05, rtol=0.05)
+    # the BASE (unpacked) kernel is the anchor for the bit-level variant
+    # checks below — the packed path regroups accumulations, so it matches
+    # to fp noise, not bitwise
+    got = patch_inverted_residual_fused(
+        x, w, hidden=hidden, out_ch=out, kernel=3,
+        bn1=bns[0], bn2=bns[1], bn3=bns[2], lane_pack=1, interpret=True)
+    for arr in (got_default, got):
+        np.testing.assert_allclose(np.asarray(arr), np.asarray(want),
+                                   atol=0.05, rtol=0.05)
+    np.testing.assert_allclose(np.asarray(got_default), np.asarray(got),
+                               atol=1e-5, rtol=1e-5)
     # agreement in structure: correlation ~ 1
     g, w_ = np.asarray(got).ravel(), np.asarray(want).ravel()
     assert np.corrcoef(g, w_)[0, 1] > 0.999
@@ -63,6 +75,23 @@ def test_invres_fused_matches_oracle(b, fh, fw, ph, pw, cin, hidden, out):
         x, w, hidden=hidden, out_ch=out, kernel=3,
         bn1=bns[0], bn2=bns[1], bn3=bns[2], out6d=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(got6), np.asarray(got))
+
+    # lane-packed formulation: identical arithmetic via block-diagonal
+    # stage-1/3 weights (the zero off-diagonal blocks contribute exact zeros)
+    if 128 % hidden == 0 and fw % (128 // hidden) == 0:
+        gotp = patch_inverted_residual_fused(
+            x, w, hidden=hidden, out_ch=out, kernel=3,
+            bn1=bns[0], bn2=bns[1], bn3=bns[2], lane_pack=True,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(gotp), np.asarray(got),
+                                   atol=1e-5, rtol=1e-5)
+    if fw % 2 == 0:  # explicit g at arbitrary (non-tile-aligned) g*hidden
+        gotp2 = patch_inverted_residual_fused(
+            x, w, hidden=hidden, out_ch=out, kernel=3,
+            bn1=bns[0], bn2=bns[1], bn3=bns[2], lane_pack=2,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(gotp2), np.asarray(got),
+                                   atol=1e-5, rtol=1e-5)
 
 
 @pytest.mark.parametrize("b,fh,fw,ph,pw,cin,hidden,out", [

@@ -70,6 +70,9 @@ def main():
         def pin(kernel=False, fullmap=False, rank4=False, out6d=False):
             pallas_cfg.ENABLED = kernel
             pallas_cfg.INVRES_MIN_BATCH = 1 if kernel else 10 ** 9
+            # the batch-1 big-patch carve-out would silently dispatch the
+            # kernel under a "gather" pin at 32x32-patch shapes (L_camvid_l5)
+            pallas_cfg.INVRES_B1_MIN_PATCH_AREA = 1 if kernel else 10 ** 9
             Pops.FULLMAP_INVRES = fullmap
             Pops.FULLMAP_INVRES_EVAL_MIN_BATCH = 1
             PI.RANK4_DOT = rank4
@@ -79,16 +82,23 @@ def main():
                     ("fullmap", dict(fullmap=True)),
                     ("pallas", dict(kernel=True)),
                     ("rank4", dict(kernel=True, rank4=True)),
-                    ("out6d", dict(kernel=True, out6d=True))]
+                    ("out6d", dict(kernel=True, out6d=True)),
+                    # lane-packing (round-3 item 10): g patches share the
+                    # 128-lane axis; any g dividing the chunk is legal, the
+                    # BN/store pads absorb non-tile-aligned g*hidden
+                    ("pack2", dict(kernel=True, pack=2)),
+                    ("pack4", dict(kernel=True, pack=4))]
         times, outs = {}, {}
         for vname, kw in variants:
+            kw = dict(kw)
+            PI.LANE_PACK = kw.pop("pack", 1)
             pin(**kw)
             try:
                 times[vname] = timed(
                     lambda xx, ww: unit.apply(params, xx, ww), x, w)
             except Exception as e:  # e.g. scoped-vmem OOM at level-4 shapes
                 print(f"  {name}/{vname} failed: "
-                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+                      f"{type(e).__name__}: {str(e)[:600]}", flush=True)
                 times[vname] = float("nan")
                 continue
             try:  # accuracy check separately: its failure keeps the timing
@@ -96,8 +106,10 @@ def main():
                     params, x.astype(jnp.float32), w.astype(jnp.float32)))
             except Exception as e:
                 print(f"  {name}/{vname} f32 accuracy apply failed: "
-                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+                      f"{type(e).__name__}: {str(e)[:600]}", flush=True)
         pin()
+        PI.LANE_PACK = 1
+        pallas_cfg.INVRES_B1_MIN_PATCH_AREA = 1024
         pallas_cfg.INVRES_MIN_BATCH = 2
         Pops.FULLMAP_INVRES = True
         Pops.FULLMAP_INVRES_EVAL_MIN_BATCH = 2
