@@ -405,6 +405,15 @@ def _s2w_fused_ok(u, x, s, ctx):
         return False
     if not pallas_cfg.invres_kernel_wanted(x.shape, s.shape):
         return False
+    # big maps belong to the LANE-PACKED kernel (weights materialized by the
+    # XLA s2w matmul — a <5 MB/img round trip), measured in-graph
+    # (tools/bench_pack.py, v5e, 2026-08-19): L-camvid 144.6 -> 182.8 img/s
+    # b8 / 142.5 -> 186.7 b1, S-city b1 161.4 -> 203.5. On SMALL maps the
+    # s2w fusion stays ahead (M b8 396.3 s2w vs 356.9 packed — its levels
+    # are <= 131k px). Same threshold as the b1 carve-out.
+    g = PI.LANE_PACK if isinstance(PI.LANE_PACK, int) else 2
+    if g > 1 and x.shape[1] * x.shape[2] >= pallas_cfg.INVRES_B1_MIN_PIXELS:
+        return False
     rt = u.s2w
     s_shape = (s.shape[0], s.shape[1], s.shape[2], rt.signal_ch)
     import numpy as np

@@ -90,6 +90,18 @@ V01_KERNEL = False
 # lane tile (128/hidden) when hidden divides 128.
 LANE_PACK = 4
 
+# Lane packing INSIDE the s2w-fused kernel (in-kernel block-diagonal
+# assembly of the VMEM-generated weights, _kernel_s2w_packed). OFF by
+# measurement (v5e, 2026-08-19, tools/bench_pack.py): the whole-model
+# compile Mosaic-500s at most production shapes (M/S-camvid/L-camvid,
+# hidden 42-68) though it compiles and wins at S-city's (hidden 28/52,
+# b1 161.4 -> 203.4 img/s). Interpret parity passes everywhere
+# (tests/test_pallas.py), so the kernel stays maintained; big-map units
+# instead reach the packed NON-s2w kernel via the s2w dispatch deferral
+# (decoder._s2w_fused_ok), which captures the same win with an XLA-side
+# generation matmul.
+S2W_LANE_PACK = 1
+
 
 def _lane_pad(n, lane=128):
     """Round n up to a whole number of 128-lane tiles (Mosaic only lowers
@@ -377,10 +389,107 @@ def _kernel_s2w(xm, xrt, xct, xcn, s_ref, d1_ref, d2_ref, d3_ref, bn_ref,
         out_ref[0, 0] = jnp.swapaxes(o, 0, 1).reshape(ph, fw * pw, out_ch)
 
 
+def _kernel_s2w_packed(xm, xrt, xct, xcn, s_ref, d1_ref, d2_ref, d3_ref,
+                       bn_ref, out_ref, *, ph, pw, fw, cin, hidden, out_ch,
+                       k, residual, act_max, g):
+    """Lane-packed + s2w-fused: weights are GENERATED in VMEM (as in
+    _kernel_s2w — the (B, fh, fw, P) tensor never exists) and then assembled
+    into the packed block-diagonal forms IN-KERNEL. The assembly uses only
+    lane-axis pads/concats and leading-dim reshapes — the constructs the
+    compiled packed kernel already proves Mosaic lowers (its xpk concat sits
+    at the same unaligned lane offsets); the 5D transposes that killed the
+    first packed formulation stay banished. bn rows arrive g-tiled."""
+    pad = k // 2
+    kh = ph + 2 * pad
+    kw = pw + 2 * pad
+    gc = fw // g
+    gh = g * hidden
+    go = g * out_ch
+    s1 = bn_ref[0, :gh]
+    b1 = bn_ref[1, :gh]
+    s2 = bn_ref[2, :gh]
+    b2 = bn_ref[3, :gh]
+    s3 = bn_ref[4, :go]
+    b3 = bn_ref[5, :go]
+
+    # halo band + packed window — identical to _kernel_packed
+    right = jnp.concatenate([xct[0], xcn[0][:2 * pad]], axis=0)
+    band = jnp.concatenate(
+        [jnp.concatenate([xm[0], xrt[0][:2 * pad]], axis=0),
+         right[:, :2 * pad]], axis=1)
+    cwid = fw * pw
+    main = band[:, :cwid].reshape(kh, fw, pw, cin)
+    halo = jnp.pad(band[:, pw:], ((0, 0), (0, pw - 2 * pad), (0, 0)))
+    halo = halo[:, :cwid].reshape(kh, fw, pw, cin)[:, :, :2 * pad]
+    win = jnp.concatenate([main, halo], axis=2)            # (kh, fw, kw, cin)
+    wing = win.reshape(kh, gc, g, kw, cin)
+    xpk = jnp.concatenate([wing[:, :, j] for j in range(g)],
+                          axis=-1)                         # (kh, gc, kw, g*c)
+    xpk = jnp.swapaxes(xpk, 0, 1)                          # (gc, kh, kw, g*c)
+
+    s_cell = s_ref[0, 0].astype(jnp.bfloat16)              # (fw, sig)
+    hp = _lane_pad(hidden)
+
+    # stage 1: generate w1 (as _kernel_s2w), then in-kernel block-diagonal
+    g1 = lax.dot_general(s_cell, d1_ref[...].astype(jnp.bfloat16),
+                         dimension_numbers=(((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+    w1 = g1.reshape(fw, cin, hp)[:, :, :hidden].astype(jnp.bfloat16)
+    w1g = w1.reshape(gc, g, cin, hidden)
+    w1bd = jnp.concatenate(
+        [jnp.pad(w1g[:, j], ((0, 0), (0, 0),
+                             (j * hidden, (g - 1 - j) * hidden)))
+         for j in range(g)], axis=1)                       # (gc, g*cin, g*h)
+    h = lax.dot_general(
+        xpk.reshape(gc, kh * kw, g * cin).astype(jnp.bfloat16), w1bd,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                # (gc, kh*kw, g*h)
+    h = jnp.clip(h * s1 + b1, 0.0, act_max)
+    h = h.reshape(gc, kh, kw, gh).astype(jnp.bfloat16)
+
+    # stage 2: per-tap generation, lane-concatenated per group
+    acc = jnp.zeros((gc, ph, pw, gh), jnp.float32)
+    for di in range(k):
+        for dj in range(k):
+            tap = lax.dot_general(
+                s_cell, d2_ref[di * k + dj].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (fw, hidden)
+            tapg = tap.reshape(gc, g, hidden)
+            tapp = jnp.concatenate([tapg[:, j] for j in range(g)],
+                                   axis=-1)                 # (gc, g*hidden)
+            acc = acc + (h[:, di:di + ph, dj:dj + pw, :].astype(jnp.float32)
+                         * tapp[:, None, None, :])
+    d = jnp.clip(acc * s2 + b2, 0.0, act_max).astype(jnp.bfloat16)
+
+    # stage 3: transposed generation (as _kernel_s2w), block-diagonal of the
+    # TRANSPOSED form — the dot contracts g*hidden on the lane dim of both
+    # operands (A @ B^T, MXU-native)
+    g3 = lax.dot_general(s_cell, d3_ref[...].astype(jnp.bfloat16),
+                         dimension_numbers=(((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+    w3t = g3.reshape(fw, out_ch, hp)[:, :, :hidden].astype(jnp.bfloat16)
+    w3tg = w3t.reshape(gc, g, out_ch, hidden)
+    w3tbd = jnp.concatenate(
+        [jnp.pad(w3tg[:, j], ((0, 0), (0, 0),
+                              (j * hidden, (g - 1 - j) * hidden)))
+         for j in range(g)], axis=1)                       # (gc, g*out, g*h)
+    o = lax.dot_general(
+        d.reshape(gc, ph * pw, gh), w3tbd,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                # (gc, ph*pw, g*o)
+    o = o * s3 + b3
+    if residual:
+        ctr = xpk[:, pad:pad + ph, pad:pad + pw]
+        o = o + ctr.reshape(gc, ph * pw, g * cin).astype(jnp.float32)
+    out_ref[0, 0] = o.reshape(gc, ph, pw, go).astype(out_ref.dtype)
+
+
 def patch_inverted_residual_s2w_fused(x, s, dense, *, hidden, out_ch, kernel=3,
                                       bn1, bn2, bn3, eps=1e-5, act_max=6.0,
                                       padding_mode="reflect", chunk=None,
-                                      out6d=None, interpret=False):
+                                      out6d=None, lane_pack=None,
+                                      interpret=False):
     """Fully fused form: x (B, H, W, Cin); s (B, fh, fw, sig) — the unit's
     ROUTED signal slice; dense (sig, >=P) — the signal2weights matrix in its
     dense (block-diagonal for groups > 1) form, columns [:P] live. Generated
@@ -448,6 +557,53 @@ def patch_inverted_residual_s2w_fused(x, s, dense, *, hidden, out_ch, kernel=3,
 
     if out6d is None:
         out6d = OUT6D
+    if lane_pack is None:
+        lane_pack = S2W_LANE_PACK
+    g = ((128 // hidden if 128 % hidden == 0 else 1)
+         if lane_pack is True or lane_pack == 0 else int(lane_pack))
+    while g > 1 and chunk % g:
+        g -= 1
+    if g > 1 and not out6d:
+        gmax = g * maxc
+
+        def tilev(v):
+            return jnp.pad(jnp.tile(v, g), (0, gmax - g * v.shape[0]))
+
+        bn_pack_g = jnp.stack([tilev(s1), tilev(b1), tilev(s2), tilev(b2),
+                               tilev(s3), tilev(b3)])
+        kern = functools.partial(
+            _kernel_s2w_packed, ph=ph, pw=pw, fw=chunk, cin=cin,
+            hidden=hidden, out_ch=out_ch, k=k, residual=residual,
+            act_max=act_max, g=g)
+        out = pl.pallas_call(
+            kern,
+            grid=(b, fh, nchunks),
+            in_specs=[
+                pl.BlockSpec((1, ph, cw, cin), lambda bi, f, c: (bi, f, c, 0)),
+                pl.BlockSpec((1, 8, cw, cin),
+                             lambda bi, f, c: (bi, (f + 1) * ph // 8, c, 0)),
+                pl.BlockSpec((1, ph, 8, cin),
+                             lambda bi, f, c: (bi, f, (c + 1) * cw // 8, 0)),
+                pl.BlockSpec((1, 8, 8, cin),
+                             lambda bi, f, c: (bi, (f + 1) * ph // 8,
+                                               (c + 1) * cw // 8, 0)),
+                pl.BlockSpec((1, 1, chunk, sig),
+                             lambda bi, f, c: (bi, f, c, 0)),
+                pl.BlockSpec((sig, cin * hp), lambda bi, f, c: (0, 0)),
+                pl.BlockSpec((k * k, sig, hidden), lambda bi, f, c: (0, 0, 0)),
+                pl.BlockSpec((sig, out_ch * hp), lambda bi, f, c: (0, 0)),
+                pl.BlockSpec((6, gmax), lambda bi, f, c: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, chunk // g, ph, pw, g * out_ch),
+                                   lambda bi, f, c: (bi, f, c, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, fh, fw // g, ph, pw, g * out_ch), x.dtype),
+            interpret=interpret,
+        )(xpad, xpad, xpad, xpad, s.astype(x.dtype), d1.astype(x.dtype),
+          d2.astype(x.dtype), d3.astype(x.dtype), bn_pack_g)
+        out = out.reshape(b, fh, fw // g, ph, pw, g, out_ch)
+        out = jnp.transpose(out, (0, 1, 3, 2, 5, 4, 6))
+        return out.reshape(b, hgt, wid, out_ch)
     kern = functools.partial(
         _kernel_s2w, ph=ph, pw=pw, fw=chunk, cin=cin, hidden=hidden,
         out_ch=out_ch, k=k, residual=residual, act_max=act_max, out6d=out6d)

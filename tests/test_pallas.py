@@ -188,6 +188,17 @@ def test_invres_s2w_fused_matches_oracle(b, fh, fw, ph, pw, cin, hidden, out,
     g, w_ = np.asarray(got).ravel(), np.asarray(want).ravel()
     assert np.corrcoef(g, w_)[0, 1] > 0.999
 
+    # lane-packed s2w variant (S2W_LANE_PACK is OFF by default — Mosaic
+    # rejects it at most production shapes — but the formulation must stay
+    # correct): same generation, block-diagonal consume dots regroup f32
+    # accumulation only
+    if fw % 2 == 0:
+        gotp = patch_inverted_residual_s2w_fused(
+            x, s, dense, hidden=hidden, out_ch=out, kernel=3,
+            bn1=bns[0], bn2=bns[1], bn3=bns[2], lane_pack=2, interpret=True)
+        np.testing.assert_allclose(np.asarray(gotp), np.asarray(got),
+                                   atol=1e-4, rtol=1e-4)
+
 
 @pytest.mark.parametrize("shape", [(64, 256), (128, 768), (64, 128)])
 def test_stem_kernel_parity(shape):

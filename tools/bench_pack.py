@@ -42,7 +42,9 @@ def main():
     def pin(variant):
         (pallas_cfg.INVRES_MIN_BATCH, pallas_cfg.INVRES_B1_MIN_PATCH_AREA,
          PI.S2W_FUSED, PI.LANE_PACK) = defaults
-        if variant == "pack":
+        if variant == "r4":           # round-4 shipped behavior (the b1
+            PI.LANE_PACK = 1          # pixel gate self-disables at g=1)
+        elif variant == "pack":       # packed, weights materialized by XLA
             PI.S2W_FUSED = False
             PI.LANE_PACK = 4
         elif variant == "pack_b1":
@@ -60,7 +62,8 @@ def main():
             if a.dtype == jnp.float32 and a.ndim >= 2 else a, params)
         for batch in batches:
             row = {}
-            variants = ["default", "pack"] + (["pack_b1"] if batch == 1 else [])
+            variants = (["default", "r4", "pack"]
+                        + (["pack_b1"] if batch == 1 else []))
             for variant in variants:
                 pin(variant)
                 try:
