@@ -412,7 +412,7 @@ def _s2w_fused_ok(u, x, s, ctx):
     # s2w fusion stays ahead (M b8 396.3 s2w vs 356.9 packed — its levels
     # are <= 131k px). Same threshold as the b1 carve-out.
     g = PI.LANE_PACK if isinstance(PI.LANE_PACK, int) else 2
-    if g > 1 and x.shape[1] * x.shape[2] >= pallas_cfg.INVRES_B1_MIN_PIXELS:
+    if g > 1 and x.shape[1] * x.shape[2] >= pallas_cfg.INVRES_PACK_MIN_PIXELS:
         return False
     rt = u.s2w
     s_shape = (s.shape[0], s.shape[1], s.shape[2], rt.signal_ch)

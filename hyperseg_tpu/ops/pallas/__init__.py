@@ -35,7 +35,7 @@ INVRES_B1_MIN_PATCH_AREA = 1024
 # still belong to the fused XLA gather at batch 1. Threshold splits the
 # measured win set {196608, 294912, 786432} from the loss set
 # {110592, 131072}.
-INVRES_B1_MIN_PIXELS = 150_000
+INVRES_PACK_MIN_PIXELS = 150_000
 STEM_ENABLED = True
 # Batch gate for the eval stem kernel. The ISOLATED stem bench says XLA
 # catches up at batch >= 2 (b8 S 3.17 vs 1.74 ms) — but IN-GRAPH the kernel
@@ -93,10 +93,10 @@ def invres_kernel_wanted(x_shape, map_shape):
         if (hgt // fh) * (wid // fw) >= INVRES_B1_MIN_PATCH_AREA:
             return True
         # packed-kernel extension: big maps win at batch 1 even with small
-        # patches (see INVRES_B1_MIN_PIXELS) — only when lane packing is on
+        # patches (see INVRES_PACK_MIN_PIXELS) — only when lane packing is on
         from hyperseg_tpu.ops.pallas import patch_invres as PI
         g = PI.LANE_PACK if isinstance(PI.LANE_PACK, int) else 2
-        return g > 1 and hgt * wid >= INVRES_B1_MIN_PIXELS
+        return g > 1 and hgt * wid >= INVRES_PACK_MIN_PIXELS
     return False
 
 

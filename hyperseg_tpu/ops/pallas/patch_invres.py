@@ -933,6 +933,17 @@ def patch_inverted_residual_fused(x, w, *, hidden, out_ch, kernel=3,
         out6d = OUT6D
     if lane_pack is None:
         lane_pack = LANE_PACK
+        # in-graph pixel gate (v5e, 2026-08-19, tools/bench_pack.py +
+        # single-flag A/B): on SMALL maps the XLA-side pack/unpack relayouts
+        # eat the kernel gain — M b8 396.3 base vs 375.8 packed (its level 4,
+        # 131k px, is not s2w-eligible and dispatches here) — while big maps
+        # win large (L-camvid l4/l5, S-city l4: +26..31%). The isolated sweep
+        # says pack4 wins at EVERY shape; in-graph relayout context decides,
+        # same lesson as the stem. Threshold shared with the dispatch gates.
+        if isinstance(lane_pack, int) and lane_pack > 1:
+            from hyperseg_tpu.ops import pallas as pallas_cfg
+            if hgt * wid < pallas_cfg.INVRES_PACK_MIN_PIXELS:
+                lane_pack = 1
     # auto mode (True/0) only packs to exactly one lane tile; an explicit
     # integer g is honored at any alignment (pads absorb the remainder) but
     # lowered to the largest divisor of the chunk (pack2 still beats the
