@@ -82,6 +82,13 @@ def main(exp_dir, *, model=None, arch=None, test_dataset=None,
     mesh = make_mesh_for_batch(batch_size, devices=devices)
     params = replicate_params(mesh, params)
     batch_sharding = data_sharded(mesh)
+    if mesh.devices.size > 1:
+        # the eval decoder batch scan iterates the GLOBAL batch; under a
+        # sharded batch each lax.map step would touch one shard's image and
+        # serialize across devices — data parallelism already provides the
+        # per-image amortization the scan exists for
+        from hyperseg_tpu.ops import pallas as pallas_cfg
+        pallas_cfg.DECODER_SCAN_MIN_BATCH = 0
     eval_step = jax.jit(make_eval_step(model_obj, num_classes=num_classes,
                                        compute_dtype=dtype))
 

@@ -91,7 +91,44 @@ class HyperGen:
         with jax.named_scope("weight_mapper"):
             s = self.weight_mapper(params, feats[-1], ctx)
         with jax.named_scope("decoder"):
-            return self.decoder(params, [x] + feats[:-1], s, ctx)
+            ins = [x] + feats[:-1]
+            if self._scan_decoder(ctx, ins):
+                # Eval-only batch scan: per-IMAGE decoder cost at batch >= 2
+                # is 1.5-4x its batch-1 value (XLA materializes the per-patch
+                # layouts it fuses away at batch 1 — BENCHMARKS.md "Batch
+                # scaling"), while the backbone and mapper amortize with
+                # batch. Scanning the decoder over the batch keeps the
+                # batched backbone AND the batch-1 decoder graph (including
+                # its measured batch-1 kernel-dispatch mix) for each image.
+                def one(args):
+                    ins_i, s_i = args
+                    ins_b = [f[None] for f in ins_i]
+                    s_b = jax.tree.map(lambda t: t[None], s_i)
+                    return self.decoder(params, ins_b, s_b, None)[0]
+
+                return jax.lax.map(one, (ins, s))
+            return self.decoder(params, ins, s, ctx)
+
+    def _scan_decoder(self, ctx, ins):
+        """Dispatch policy for the eval decoder batch scan (trace-time).
+
+        Batch-gated, eval-only, and pixel-gated on the FINEST map the decoder
+        consumes (every decoder family processes xs[-lv-1], so that is
+        xs[len(xs) - n_levels]): the scan wins where the batched decoder pays
+        XLA's per-patch materialization (finest map <= ~300k px, +12..62%
+        in-graph at b8) and loses ~5% where one huge full-resolution level
+        dominates and the fused kernel already amortizes the batch itself
+        (L-CamVid, 786k px) — see BENCHMARKS.md round-5 scan table."""
+        from hyperseg_tpu.ops import pallas as pallas_cfg
+        if not (not (ctx is not None and ctx.train)
+                and pallas_cfg.DECODER_SCAN_MIN_BATCH
+                and ins[0].shape[0] >= pallas_cfg.DECODER_SCAN_MIN_BATCH
+                and (pallas_cfg.kernels_available()
+                     or pallas_cfg.DECODER_SCAN_FORCE)):
+            return False
+        finest = ins[max(0, len(ins) - len(self.decoder.level_units))]
+        return (finest.shape[1] * finest.shape[2]
+                <= pallas_cfg.DECODER_SCAN_MAX_PIXELS)
 
     def apply_train(self, params, x, rng):
         """Training forward: returns (logits, state_updates) where

@@ -36,6 +36,27 @@ INVRES_B1_MIN_PATCH_AREA = 1024
 # measured win set {196608, 294912, 786432} from the loss set
 # {110592, 131072}.
 INVRES_PACK_MIN_PIXELS = 150_000
+# Eval decoder batch scan (models/hypergen.py _scan_decoder): at batch >=
+# this, the decoder runs as a lax.map over the batch — per-image decoder
+# cost returns to its batch-1 value (where XLA fuses the per-patch layouts
+# it materializes at batch >= 2) while the backbone/mapper stay batched.
+# 0/None disables. Measured v5e (tools/bench_scan.py, in-graph b8 img/s,
+# batched vs scan): M 395.7/395.2 (tie), S-city 154.3/185.7 (+20%),
+# S-camvid 372.2/418.1 (+12%), L-voc 213.6/347.1 (+62%), L-camvid
+# 183.3/173.9 (-5%). The one loser is the config whose finest consumed map
+# is full-resolution (786k px) and kernel-dominated; the pixel gate below
+# excludes it. The eval CLIs disable the scan when the batch is sharded
+# over a >1-device data mesh (the scan iterates the GLOBAL batch).
+DECODER_SCAN_MIN_BATCH = 2
+# Finest-consumed-map pixel gate: measured win set {110k, 262k, 294k} px,
+# tie at 131k, loss at 786k (full-res level dominated by the packed kernel,
+# which amortizes batch better than lax.map's serialized iterations).
+DECODER_SCAN_MAX_PIXELS = 500_000
+# Test hook: enable the scan on a non-TPU backend (kernels_available gates
+# it to TPU in production because the batched-XLA inversion it fixes is a
+# TPU layout artifact).
+DECODER_SCAN_FORCE = False
+
 STEM_ENABLED = True
 # Batch gate for the eval stem kernel. The ISOLATED stem bench says XLA
 # catches up at batch >= 2 (b8 S 3.17 vs 1.74 ms) — but IN-GRAPH the kernel

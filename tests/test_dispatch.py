@@ -71,6 +71,12 @@ def test_shipped_flag_defaults():
     # XLA 5.42 ms; 16x16 and below XLA wins at b1 (tools/bench_invres.py)
     assert pallas_cfg.INVRES_B1_MIN_PATCH_AREA == 1024
     assert pallas_cfg.RESIZE_ENABLED is False  # XLA ~0.09 vs kernel ~0.11 ms
+    # eval decoder batch scan: b8 in-graph batched->scan M 395.7->395.2,
+    # S-city 154.3->185.7, S-camvid 372.2->418.1, L-voc 213.6->347.1;
+    # L-camvid (finest map 786k px) 183.3->173.9 — hence the pixel gate
+    assert pallas_cfg.DECODER_SCAN_MIN_BATCH == 2
+    assert pallas_cfg.DECODER_SCAN_MAX_PIXELS == 500_000
+    assert pallas_cfg.DECODER_SCAN_FORCE is False
 
     from hyperseg_tpu.ops import patch as P
     from hyperseg_tpu.ops.pallas import patch_invres as PI
@@ -291,3 +297,59 @@ def test_s2w_fused_dispatch_and_parity(monkeypatch):
     D.apply_unit_from_signal(params, unit, x, s,
                              F.Ctx(train=True, rng=jax.random.PRNGKey(0)))
     assert not calls
+
+
+def test_decoder_batch_scan_parity_and_policy(monkeypatch):
+    """Eval decoder batch scan (models/hypergen.py _scan_decoder): logits
+    must be identical to the batched decoder (the scan body IS the batch-1
+    graph), the gate must be eval-only and batch-gated, and training must
+    never scan (BN batch stats need the full batch)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from hyperseg_tpu.models import hyperseg_v1_0 as V1
+    from hyperseg_tpu.models.hypergen import HyperGen
+    from hyperseg_tpu.nn import functional as F
+
+    model = V1.hyperseg_efficientnet(
+        "efficientnet-b0", levels=2, kernel_sizes=(1, 1, 3), expand_ratio=2,
+        weight_groups=(8, 8, 4), level_channels=[16, 8, 8], num_classes=5)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).rand(3, 64, 128, 3), jnp.float32)
+
+    monkeypatch.setattr(pallas_cfg, "DECODER_SCAN_FORCE", True)
+    monkeypatch.setattr(pallas_cfg, "DECODER_SCAN_MIN_BATCH", 0)
+    want = model(params, x)
+    monkeypatch.setattr(pallas_cfg, "DECODER_SCAN_MIN_BATCH", 2)
+    got = model(params, x)
+    # identical graph per image; only fusion-order float noise differs
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+    # policy: eval-only, batch-, backend-, and finest-map-pixel-gated
+    nl = len(model.decoder.level_units)
+    ShapeOnly = type("ShapeOnly", (), {})
+
+    def ins_for(batch, h, w, n_ins=None):
+        """Fake ins list whose finest consumed entry is (batch, h, w)."""
+        outs = []
+        for i in range(n_ins or nl):
+            o = ShapeOnly()
+            o.shape = (batch, h, w, 3)
+            outs.append(o)
+        return outs
+
+    ctx_train = F.Ctx(train=True, rng=jax.random.PRNGKey(0))
+    assert model._scan_decoder(None, ins_for(8, 256, 512))
+    assert model._scan_decoder(F.Ctx(train=False, rng=None),
+                               ins_for(2, 256, 512))
+    assert not model._scan_decoder(ctx_train, ins_for(8, 256, 512))
+    assert not model._scan_decoder(None, ins_for(1, 256, 512))
+    # finest consumed map above the measured pixel gate: no scan (L-CamVid,
+    # 768x1024 = 786k px, loses 5% in-graph)
+    assert not model._scan_decoder(None, ins_for(8, 768, 1024))
+    monkeypatch.setattr(pallas_cfg, "DECODER_SCAN_MIN_BATCH", 0)
+    assert not model._scan_decoder(None, ins_for(8, 256, 512))
+    monkeypatch.setattr(pallas_cfg, "DECODER_SCAN_MIN_BATCH", 2)
+    monkeypatch.setattr(pallas_cfg, "DECODER_SCAN_FORCE", False)
+    assert not model._scan_decoder(None, ins_for(8, 256, 512))  # CPU: no scan
