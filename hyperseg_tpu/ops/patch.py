@@ -19,7 +19,10 @@ reference (hyperseg_v1_0.py:350,357,364,492-493).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from hyperseg_tpu.nn import functional as F
@@ -74,17 +77,88 @@ def unblock_patches(xp):
     return x.reshape(b, fh * ph, fw * pw, c)
 
 
+# Replace the halo gather's autodiff transpose — a scatter-add over the
+# overlapping window reads — with an explicit overlap-add built purely from
+# reshape/concat/slice (TPU scatter lowers to a serialized loop; the overlap
+# structure here is static, so the transpose is expressible as two dense
+# adds per axis). A/B lever for the TRAINING path; decided by measurement
+# (tools/bench_bwd_unit.py) — OFF until the on-chip number is recorded.
+HALO_SLICE_VJP = False
+
+
+def _overlap_add(t, axis, stride, extra):
+    """Inverse of a strided sliding-window split along (axis, axis+1).
+
+    t's axes (axis, axis+1) hold n windows of length stride+extra read at
+    `stride` spacing from a line of length n*stride + extra (consecutive
+    windows overlap by `extra`); returns t with those two axes merged into
+    the summed line. Requires extra <= stride. Pure reshape/concat/slice."""
+    n = t.shape[axis]
+    win = t.shape[axis + 1]
+    assert win == stride + extra and 0 <= extra <= stride
+    lead, trail = t.shape[:axis], t.shape[axis + 2:]
+    head = jax.lax.slice_in_dim(t, 0, stride, axis=axis + 1)
+    head = head.reshape(lead + (n * stride,) + trail)
+    if extra == 0:
+        return head
+    # Window g's last `extra` entries land at line position (g+1)*stride —
+    # i.e. the tails form their own stride-spaced pattern offset by one
+    # block; zero-pad each tail to a full block, merge, shift, slice.
+    tail = jax.lax.slice_in_dim(t, stride, win, axis=axis + 1)
+    tail = jnp.concatenate(
+        [tail, jnp.zeros(lead + (n, stride - extra) + trail, t.dtype)],
+        axis=axis + 1).reshape(lead + (n * stride,) + trail)
+    base = jnp.concatenate(
+        [head, jnp.zeros(lead + (extra,) + trail, t.dtype)], axis=axis)
+    add = jnp.concatenate(
+        [jnp.zeros(lead + (stride,) + trail, t.dtype), tail], axis=axis)
+    return base + jax.lax.slice_in_dim(add, 0, n * stride + extra, axis=axis)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _gather_halo_windows(xpad, fh, fw, pt, pl):
+    """The pure gather stage of extract_patches_with_halo, reading from the
+    already-padded map. custom_vjp: the transpose is the overlap-add above
+    instead of XLA's scatter-add."""
+    b, hp, wp, c = xpad.shape
+    ph, pw = (hp - 2 * pt) // fh, (wp - 2 * pl) // fw
+    row_idx = (np.arange(fh)[:, None] * ph + np.arange(ph + 2 * pt)[None, :])
+    col_idx = (np.arange(fw)[:, None] * pw + np.arange(pw + 2 * pl)[None, :])
+    xp = xpad[:, row_idx]                # (B, fh, ph+2pt, W+2pl, C)
+    xp = xp[:, :, :, col_idx]            # (B, fh, ph+2pt, fw, pw+2pl, C)
+    return jnp.transpose(xp, (0, 1, 3, 2, 4, 5))
+
+
+def _ghw_fwd(xpad, fh, fw, pt, pl):
+    return _gather_halo_windows(xpad, fh, fw, pt, pl), xpad.shape
+
+
+def _ghw_bwd(fh, fw, pt, pl, shape, g):
+    b, hp, wp, c = shape
+    ph, pw = (hp - 2 * pt) // fh, (wp - 2 * pl) // fw
+    g = jnp.transpose(g, (0, 1, 3, 2, 4, 5))   # (B, fh, ph+2pt, fw, pw+2pl, C)
+    g = _overlap_add(g, 3, pw, 2 * pl)          # (B, fh, ph+2pt, W+2pl, C)
+    g = _overlap_add(g, 1, ph, 2 * pt)          # (B, H+2pt, W+2pl, C)
+    return (g,)
+
+
+_gather_halo_windows.defvjp(_ghw_fwd, _ghw_bwd)
+
+
 def extract_patches_with_halo(x, fh, fw, pad_hw, mode="reflect"):
     """(B, H, W, C) -> overlapping patches (B, fh, fw, ph+2*pt, pw+2*pl, C).
 
     Equivalent to the reference's reflect-pad + overlapping unfold
     (hyperseg_v1_0.py:336-342). Gather-based; each border row/col is read by
-    two patches (the halo).
-    """
+    two patches (the halo). pad2d keeps its native VJP (reflect-pad's
+    transpose is flip-slice adds); the gather stage optionally takes the
+    slice-based custom VJP above."""
     b, h, w, c = x.shape
     ph, pw = h // fh, w // fw
     pt, pl = pad_hw
     xpad = F.pad2d(x, ((pt, pt), (pl, pl)), mode=mode)
+    if HALO_SLICE_VJP and 2 * pt <= ph and 2 * pl <= pw:
+        return _gather_halo_windows(xpad, fh, fw, pt, pl)
     row_idx = (np.arange(fh)[:, None] * ph + np.arange(ph + 2 * pt)[None, :])
     col_idx = (np.arange(fw)[:, None] * pw + np.arange(pw + 2 * pl)[None, :])
     xp = xpad[:, row_idx]                # (B, fh, ph+2pt, W+2pl, C)

@@ -4,6 +4,7 @@ Oracle: hyperseg/models/layers/meta_conv.py, meta_patch.py and the in-model
 patch ops of hyperseg_v1_0.py, executed on CPU with random weights.
 """
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -265,3 +266,34 @@ def test_meta_sequential_routing():
     w = jnp.zeros((1, 8))  # fewer channels than hyper_params: clamped slices
     seq(x, w)
     assert calls == [("a", 4), ("b", 4)]  # second slice clamped to 8-4=4
+
+
+@pytest.mark.parametrize("mode", ["reflect", "replicate", "constant"])
+@pytest.mark.parametrize("b,c,fh,fw,ph,pw,pt,pl",
+                         [(2, 5, 4, 6, 8, 8, 1, 1), (1, 3, 2, 4, 8, 16, 2, 2),
+                          (2, 4, 3, 5, 8, 8, 0, 0), (1, 6, 8, 2, 8, 16, 1, 2)])
+def test_halo_slice_vjp_matches_scatter_vjp(b, c, fh, fw, ph, pw, pt, pl,
+                                            mode):
+    """The slice-based custom VJP of the halo gather (overlap-add transpose,
+    no scatter) must be BIT-identical to XLA's native gather transpose —
+    forward and cotangent — at every pad/mode combination the decoder uses."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(b, fh * ph, fw * pw, c), jnp.float32)
+    ct = jnp.asarray(
+        rng.randn(b, fh, fw, ph + 2 * pt, pw + 2 * pl, c), jnp.float32)
+
+    def run(flag):
+        old = P.HALO_SLICE_VJP
+        P.HALO_SLICE_VJP = flag
+        try:
+            y, vjp = jax.vjp(
+                lambda t: P.extract_patches_with_halo(
+                    t, fh, fw, (pt, pl), mode=mode), x)
+            return np.asarray(y), np.asarray(vjp(ct)[0])
+        finally:
+            P.HALO_SLICE_VJP = old
+
+    y_ref, g_ref = run(False)
+    y_new, g_new = run(True)
+    np.testing.assert_array_equal(y_new, y_ref)
+    np.testing.assert_array_equal(g_new, g_ref)
